@@ -18,6 +18,11 @@ def _setup_compilation_cache():
     invocations after the first fast.  Opt out with PORECHOP_TPU_NO_CACHE=1."""
     if os.environ.get('PORECHOP_TPU_NO_CACHE'):
         return
+    # Only cache for TPU-like backends: CPU AOT cache entries are
+    # machine-feature-sensitive and reload warnings would pollute stderr.
+    platforms = os.environ.get('JAX_PLATFORMS', '')
+    if platforms and 'cpu' in platforms:
+        return
     try:
         import jax
         cache_dir = os.environ.get(

@@ -1,0 +1,209 @@
+"""Batch planner and engine dispatch.
+
+Turns arbitrary collections of (window, adapter) alignment jobs into a small
+number of dense, shape-bucketed device launches, then scatters results back.
+
+Why bucketing: XLA compiles one program per (padded window length, padded
+adapter length) pair, and on tunneled TPU backends each compile is expensive
+— so window lengths snap to a geometric ladder and adapters pad to the
+bucket's max.  Why chunking: per-launch state is ~27 * B * L int32, so B*L is
+capped to bound HBM while keeping launches big enough to amortize dispatch
+overhead (~hundreds of ms on tunneled devices).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import spec
+
+# Window-length ladder: fine-grained at the small end (end windows), then
+# geometric.  One compile per rung actually used.
+_LADDER = [16, 32, 64, 96, 150, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
+           4096, 6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536,
+           98304, 131072, 196608, 262144, 393216, 524288, 786432, 1048576]
+
+# Cap on B*L1 cells per launch (keeps the 27 int32 state arrays ~ <2 GB HBM).
+_CELL_BUDGET = int(os.environ.get('PORECHOP_TPU_CELL_BUDGET', 16_000_000))
+_MIN_LANES = 8
+
+
+def _bucket_len(n: int) -> int:
+    for rung in _LADDER:
+        if n <= rung:
+            return rung
+    return ((n + 65535) // 65536) * 65536
+
+
+def _bucket_lanes(n: int) -> int:
+    """Snap the batch (lane) count to a power of two so iterative phases with
+    shrinking active sets reuse compiled programs instead of triggering a new
+    XLA compile per distinct batch size."""
+    b = _MIN_LANES
+    while b < n:
+        b *= 2
+    return b
+
+
+def _use_jax() -> bool:
+    if os.environ.get('PORECHOP_TPU_FORCE_HOST'):
+        return False
+    try:
+        import jax  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def seqan_pct_vec(matches: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized percent identity matching the reference's round trip
+    through C++ std::to_string (6 decimals) and Python float().
+
+    For values not adjacent to a .5 millionths boundary, banker's rounding of
+    v*1e6 equals decimal rounding of v; the rare boundary cases are
+    recomputed exactly through the string path.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    matches = np.asarray(matches, dtype=np.int64)
+    v = np.where(lengths > 0, 100.0 * matches / np.maximum(lengths, 1), np.nan)
+    scaled = v * 1e6
+    out = np.round(scaled) / 1e6
+    frac = scaled - np.floor(scaled)
+    sus = np.abs(frac - 0.5) < 1e-6
+    if np.any(sus):
+        idx = np.nonzero(sus)[0]
+        for k in idx:
+            out[k] = spec.seqan_pct(int(matches[k]), int(lengths[k]))
+    return out
+
+
+class AlignJobs:
+    """A flat list of alignment jobs over pre-encoded sequences.
+
+    windows: list of np.int8 Dna5 code arrays (the read-side sequences).
+    adapters: list of np.int8 code arrays.
+    pairs: (P, 2) int array of (window_index, adapter_index).
+    """
+
+    def __init__(self, windows, adapters, pairs, scoring=(3, -6, -5, -2)):
+        self.windows = windows
+        self.adapters = adapters
+        self.pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+        self.scoring = tuple(int(x) for x in scoring)
+
+    def run(self) -> dict:
+        """Executes all jobs; returns dict of (P,) arrays:
+        read_start, read_end_excl, full_pct, partial_pct, plus the raw
+        integer fields (matches, aligned_len, full_len, raw_score,
+        read_end_incl, adapter_start, adapter_end)."""
+        P = len(self.pairs)
+        fields = ('read_start', 'read_end', 'adapter_start', 'adapter_end',
+                  'raw_score', 'matches', 'aligned_len', 'full_len')
+        out = {f: np.zeros(P, dtype=np.int64) for f in fields}
+        if P == 0:
+            return self._package(out)
+
+        wlens = np.array([len(w) for w in self.windows], dtype=np.int64)
+        alens = np.array([len(a) for a in self.adapters], dtype=np.int64)
+        pw = wlens[self.pairs[:, 0]]
+        pa = alens[self.pairs[:, 1]]
+
+        # Degenerate jobs (empty window or adapter) resolve host-side.
+        degenerate = (pw == 0) | (pa == 0)
+        if degenerate.any():
+            for k in np.nonzero(degenerate)[0]:
+                out['read_start'][k] = -1
+                out['raw_score'][k] = -(2 ** 31)
+
+        todo = np.nonzero(~degenerate)[0]
+        if todo.size == 0:
+            return self._package(out)
+
+        use_jax = _use_jax() and self._jax_supports()
+        buckets = {}
+        for k in todo:
+            lb = _bucket_len(int(pw[k]))
+            buckets.setdefault(lb, []).append(k)
+
+        for lb, idxs in sorted(buckets.items()):
+            idxs = np.asarray(idxs)
+            amax = int(pa[idxs].max())
+            per_launch = max(_MIN_LANES, _CELL_BUDGET // (lb + 1))
+            for lo in range(0, len(idxs), per_launch):
+                chunk = idxs[lo:lo + per_launch]
+                self._run_chunk(chunk, lb, amax, out, use_jax)
+        return self._package(out)
+
+    def _jax_supports(self):
+        from . import engine_jax
+        return engine_jax.supports(self.scoring)
+
+    @staticmethod
+    def _engine():
+        """Engine selection: v2 (bitmap + device traceback) by default;
+        PORECHOP_TPU_ENGINE=v1 selects the stat-carrying engine."""
+        if os.environ.get('PORECHOP_TPU_ENGINE', 'v2') == 'v1':
+            from . import engine_jax
+            return engine_jax
+        from . import engine_v2
+        return engine_v2
+
+    def _run_chunk(self, chunk, lb, amax, out, use_jax):
+        B = len(chunk)
+        if use_jax:
+            engine = self._engine()
+            Bp = _bucket_lanes(B)
+            reads = np.full((Bp, lb), 4, dtype=np.int8)
+            adps = np.full((Bp, amax), 4, dtype=np.int8)
+            rl = np.ones(Bp, dtype=np.int32)    # pad lanes: 1-bp dummy jobs
+            al = np.ones(Bp, dtype=np.int32)
+            for r, k in enumerate(chunk):
+                w = self.windows[self.pairs[k, 0]]
+                a = self.adapters[self.pairs[k, 1]]
+                reads[r, :len(w)] = w
+                adps[r, :len(a)] = a
+                rl[r] = len(w)
+                al[r] = len(a)
+            res = engine.align_batch(reads, rl, adps, al, self.scoring)
+            for f in out:
+                out[f][chunk] = res[f][:B]
+        else:
+            codes = 'ACGTN'
+            for k in chunk:
+                w = self.windows[self.pairs[k, 0]]
+                a = self.adapters[self.pairs[k, 1]]
+                r = spec.align_stats(''.join(codes[c] for c in w),
+                                     ''.join(codes[c] for c in a),
+                                     self.scoring)
+                out['read_start'][k] = r.read_start
+                out['read_end'][k] = r.read_end
+                out['adapter_start'][k] = r.adapter_start
+                out['adapter_end'][k] = r.adapter_end
+                out['raw_score'][k] = r.raw_score
+                out['matches'][k] = r.matches
+                out['aligned_len'][k] = r.aligned_len
+                out['full_len'][k] = r.full_len
+
+    def _package(self, out):
+        full_pct = seqan_pct_vec(out['matches'], out['full_len'])
+        partial_pct = seqan_pct_vec(out['matches'], out['aligned_len'])
+        failed = out['read_start'] == -1
+        # align_adapter (reference nanopore_read.py:476-491): failure ->
+        # zeros; read_end becomes exclusive via +1 otherwise.
+        full_pct = np.where(failed, 0.0, full_pct)
+        partial_pct = np.where(failed, 0.0, partial_pct)
+        read_end_excl = np.where(failed, 0, out['read_end'] + 1)
+        result = dict(out)
+        result['full_pct'] = full_pct
+        result['partial_pct'] = partial_pct
+        result['read_end_excl'] = read_end_excl
+        return result
+
+
+def align_pairs(windows, adapters, pairs, scoring=(3, -6, -5, -2)) -> dict:
+    """Convenience wrapper: windows/adapters are str or int8 code arrays."""
+    enc_w = [w if isinstance(w, np.ndarray) else spec.encode(w) for w in windows]
+    enc_a = [a if isinstance(a, np.ndarray) else spec.encode(a) for a in adapters]
+    return AlignJobs(enc_w, enc_a, pairs, scoring).run()

@@ -1,0 +1,468 @@
+"""The pipeline phases, re-expressed as dense batched device launches.
+
+The reference runs one FFI alignment call per (read, adapter) pair inside a
+thread pool (porechop/porechop.py:286-595).  Here every phase builds one
+AlignJobs batch (ops/dispatch.py), launches it through the TPU engine, and
+then applies the reference's decision logic on the host in the exact same
+per-read, per-adapter order — so all outputs (including verbosity text and
+progress lines) are byte-identical to a single-threaded reference run.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import numpy as np
+
+from ..adapters import (ADAPTERS, make_full_native_barcode_adapter,
+                        make_new_full_rapid_barcode_adapter,
+                        make_old_full_rapid_barcode_adapter)
+from ..ops import spec
+from ..ops.dispatch import AlignJobs
+from ..utils.fastx import load_fasta_or_fastq
+from ..utils.text import bold_underline, int_to_str, print_table, red
+from .model import Read
+
+END_CODE_N = 4
+
+
+# ---------------------------------------------------------------------------
+# Loading (reference porechop.py:224-283)
+# ---------------------------------------------------------------------------
+
+def load_reads(input_file_or_directory, verbosity, print_dest, check_read_count):
+    if os.path.isfile(input_file_or_directory):
+        if verbosity > 0:
+            print('\n' + bold_underline('Loading reads'), flush=True, file=print_dest)
+            print(input_file_or_directory, flush=True, file=print_dest)
+        records, read_type = load_fasta_or_fastq(input_file_or_directory)
+        if read_type == 'FASTA':
+            reads = [Read(x[2], x[1], '') for x in records]
+        else:
+            reads = [Read(x[4], x[1], x[3]) for x in records]
+        check_reads = reads[:check_read_count]
+
+    elif os.path.isdir(input_file_or_directory):
+        if verbosity > 0:
+            print('\n' + bold_underline('Searching for FASTQ files'),
+                  flush=True, file=print_dest)
+        fastqs = sorted(os.path.join(dir_path, f)
+                        for dir_path, _, filenames in os.walk(input_file_or_directory)
+                        for f in filenames
+                        if f.lower().endswith('.fastq')
+                        or f.lower().endswith('.fastq.gz'))
+        if not fastqs:
+            sys.exit('Error: could not find fastq files in '
+                     + input_file_or_directory)
+        reads, check_reads = [], []
+        read_type = 'FASTQ'
+        check_reads_per_file = int(round(check_read_count / len(fastqs)))
+        for fastq_file in fastqs:
+            if verbosity > 0:
+                print(fastq_file, flush=True, file=print_dest)
+            records, _ = load_fasta_or_fastq(fastq_file)
+            file_reads = [Read(x[4], x[1], x[3]) for x in records]
+            albacore_barcode = get_albacore_barcode_from_path(fastq_file)
+            for read in file_reads:
+                read.albacore_barcode_call = albacore_barcode
+            reads += file_reads
+            check_reads += file_reads[:check_reads_per_file]
+        if verbosity > 0:
+            print('', flush=True, file=print_dest)
+    else:
+        sys.exit('Error: could not find ' + input_file_or_directory)
+
+    if verbosity > 0:
+        print(int_to_str(len(reads)) + ' reads loaded\n\n', flush=True,
+              file=print_dest)
+    return reads, check_reads, read_type
+
+
+def get_albacore_barcode_from_path(albacore_path):
+    if '/unclassified/' in albacore_path:
+        return 'none'
+    matches = re.findall('/barcode(\\d\\d)/', albacore_path)
+    if matches:
+        return 'BC' + matches[-1]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: adapter-set detection (reference porechop.py:286-327)
+# ---------------------------------------------------------------------------
+
+def find_matching_adapter_sets(check_reads, verbosity, end_size,
+                               scoring_scheme_vals, print_dest,
+                               adapter_threshold, threads):
+    read_count = len(check_reads)
+    if verbosity > 0:
+        print(bold_underline('Looking for known adapter sets'), flush=True,
+              file=print_dest)
+        output_progress_line(0, read_count, print_dest)
+
+    search_adapters = [a for a in ADAPTERS if '(full sequence)' not in a.name]
+    for a in search_adapters:       # fresh scores per run
+        a.best_start_score = 0.0
+        a.best_end_score = 0.0
+
+    # One dense batch: every check read's two end windows against every
+    # adapter-set start/end sequence.
+    windows = []
+    for read in check_reads:
+        windows.append(spec.encode(read.seq[:end_size]))
+        windows.append(spec.encode(read.seq[-end_size:]))
+    adapter_seqs = []
+    adapter_idx = {}
+    jobs = []      # (window_idx, adapter_idx, set_idx, side)
+    for si, aset in enumerate(search_adapters):
+        for side, seq_pair in (('start', aset.start_sequence),
+                               ('end', aset.end_sequence)):
+            if not seq_pair:
+                continue
+            seq = seq_pair[1]
+            if seq not in adapter_idx:
+                adapter_idx[seq] = len(adapter_seqs)
+                adapter_seqs.append(spec.encode(seq))
+            ai = adapter_idx[seq]
+            for ri in range(read_count):
+                wi = 2 * ri if side == 'start' else 2 * ri + 1
+                jobs.append((wi, ai, si, side))
+
+    if jobs:
+        pairs = np.array([(w, a) for w, a, _, _ in jobs], dtype=np.int64)
+        res = AlignJobs(windows, adapter_seqs, pairs, scoring_scheme_vals).run()
+        full = res['full_pct']
+        for k, (_, _, si, side) in enumerate(jobs):
+            aset = search_adapters[si]
+            if side == 'start':
+                if full[k] > aset.best_start_score:
+                    aset.best_start_score = full[k]
+            else:
+                if full[k] > aset.best_end_score:
+                    aset.best_end_score = full[k]
+
+    if verbosity > 0:
+        for r in range(1, read_count + 1):
+            output_progress_line(r, read_count, print_dest)
+        output_progress_line(read_count, read_count, print_dest,
+                             end_newline=True)
+
+    return [x for x in search_adapters
+            if x.best_start_or_end_score() >= adapter_threshold]
+
+
+# ---------------------------------------------------------------------------
+# Host-side set surgery (reference porechop.py:330-435)
+# ---------------------------------------------------------------------------
+
+def choose_barcoding_kit(adapter_sets, verbosity, print_dest):
+    forward_start_or_end, reverse_start_or_end = 0, 0
+    forward_start_and_end, reverse_start_and_end = 0, 0
+    for aset in adapter_sets:
+        if 'barcode' in aset.name.lower():
+            if '(forward)' in aset.name.lower():
+                forward_start_or_end += aset.best_start_or_end_score()
+                forward_start_and_end += aset.best_start_score + aset.best_end_score
+            elif '(reverse)' in aset.name.lower():
+                reverse_start_or_end += aset.best_start_or_end_score()
+                reverse_start_and_end += aset.best_start_score + aset.best_end_score
+    if forward_start_or_end == 0 and reverse_start_or_end == 0:
+        sys.exit('Error: no barcodes were found, so Porechop cannot perform '
+                 'barcode demultiplexing')
+    orientation = None
+    if forward_start_or_end > reverse_start_or_end:
+        orientation = 'forward'
+    elif reverse_start_or_end > forward_start_or_end:
+        orientation = 'reverse'
+    elif forward_start_and_end > reverse_start_and_end:
+        orientation = 'forward'
+    elif reverse_start_and_end > forward_start_and_end:
+        orientation = 'reverse'
+    if orientation is None:
+        sys.exit('Error: Porechop could not determine barcode orientation')
+    if verbosity > 0:
+        print('\nBarcodes determined to be in ' + orientation + ' orientation',
+              file=print_dest)
+    return orientation
+
+
+def fix_up_1d2_sets(matching_sets):
+    names = [x.name for x in matching_sets]
+    if ('1D^2 part 1' in names and '1D^2 part 2' in names
+            and 'SQK-MAP006 Short' in names):
+        def score_of(n):
+            return [x for x in matching_sets
+                    if x.name == n][0].best_start_or_end_score()
+        if (score_of('1D^2 part 1') >= score_of('SQK-MAP006 Short')
+                and score_of('1D^2 part 2') >= score_of('SQK-MAP006 Short')):
+            matching_sets = [x for x in matching_sets
+                             if x.name != 'SQK-MAP006 Short']
+    return matching_sets
+
+
+def display_adapter_set_results(matching_sets, verbosity, print_dest):
+    if verbosity < 1:
+        return
+    table = [['Set', 'Best read start %ID', 'Best read end %ID']]
+    row_colours = {}
+    matching_set_names = [x.name for x in matching_sets]
+    search_adapters = [a for a in ADAPTERS if '(full sequence)' not in a.name]
+    for aset in search_adapters:
+        table.append([aset.name, '%.1f' % aset.best_start_score,
+                      '%.1f' % aset.best_end_score])
+        if aset.name in matching_set_names:
+            row_colours[len(table) - 1] = 'green'
+    print_table(table, print_dest, alignments='LRR', row_colour=row_colours,
+                fixed_col_widths=[35, 8, 8])
+
+
+def add_full_barcode_adapter_sets(matching_sets):
+    names = [x.name for x in matching_sets]
+    for i in range(1, 97):
+        if all(x in names for x in ['SQK-NSK007',
+                                    'Barcode ' + str(i) + ' (reverse)']):
+            matching_sets.append(make_full_native_barcode_adapter(i))
+        if all(x in names for x in ['Rapid', 'Barcode ' + str(i) + ' (forward)']):
+            if 'RBK004_upstream' in names:
+                matching_sets.append(make_new_full_rapid_barcode_adapter(i))
+            elif 'SQK-NSK007' in names:
+                matching_sets.append(make_old_full_rapid_barcode_adapter(i))
+    return matching_sets
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: end trimming + barcode scoring (reference porechop.py:438-514,
+# nanopore_read.py:166-208)
+# ---------------------------------------------------------------------------
+
+def find_adapters_at_read_ends(reads, matching_sets, verbosity, end_size,
+                               extra_trim_size, end_threshold,
+                               scoring_scheme_vals, print_dest, min_trim_size,
+                               threads, check_barcodes, barcode_threshold,
+                               barcode_diff, require_two_barcodes,
+                               forward_or_reverse_barcodes):
+    if verbosity > 0:
+        print(bold_underline('Trimming adapters from read ends'),
+              file=print_dest)
+        name_len = max(max(len(x.start_sequence[0])
+                           if x.start_sequence else 0 for x in matching_sets),
+                       max(len(x.end_sequence[0])
+                           if x.end_sequence else 0 for x in matching_sets))
+        for mset in matching_sets:
+            if mset.start_sequence:
+                print('  ' + mset.start_sequence[0].rjust(name_len) + ': '
+                      + red(mset.start_sequence[1]), file=print_dest)
+            if mset.end_sequence:
+                print('  ' + mset.end_sequence[0].rjust(name_len) + ': '
+                      + red(mset.end_sequence[1]), file=print_dest)
+        print('', file=print_dest)
+
+    read_count = len(reads)
+    if verbosity == 1:
+        output_progress_line(0, read_count, print_dest)
+
+    start_sets = [m for m in matching_sets if m.start_sequence]
+    end_sets = [m for m in matching_sets if m.end_sequence]
+
+    windows = []
+    for read in reads:
+        windows.append(spec.encode(read.seq[:end_size]))
+        windows.append(spec.encode(read.seq[-end_size:]))
+    adapter_seqs, adapter_idx = [], {}
+
+    def aidx(seq):
+        if seq not in adapter_idx:
+            adapter_idx[seq] = len(adapter_seqs)
+            adapter_seqs.append(spec.encode(seq))
+        return adapter_idx[seq]
+
+    pairs = []
+    for ri in range(read_count):
+        for m in start_sets:
+            pairs.append((2 * ri, aidx(m.start_sequence[1])))
+        for m in end_sets:
+            pairs.append((2 * ri + 1, aidx(m.end_sequence[1])))
+    res = AlignJobs(windows, adapter_seqs, np.array(pairs, dtype=np.int64),
+                    scoring_scheme_vals).run() if pairs else None
+
+    k = 0
+    per_read_lines = []
+    for read in reads:
+        # Start side (nanopore_read.py:166-186).
+        for m in start_sets:
+            full_score = res['full_pct'][k]
+            partial_score = res['partial_pct'][k]
+            read_start = int(res['read_start'][k])
+            read_end = int(res['read_end_excl'][k])
+            k += 1
+            if (partial_score > end_threshold and read_end != end_size
+                    and read_end - read_start >= min_trim_size):
+                trim_amount = read_end + extra_trim_size
+                read.start_trim_amount = max(read.start_trim_amount, trim_amount)
+                read.start_adapter_alignments.append(
+                    (m, full_score, partial_score, read_start, read_end))
+            if (check_barcodes and m.is_barcode()
+                    and m.barcode_direction() == forward_or_reverse_barcodes):
+                read.start_barcode_scores[m.get_barcode_name()] = full_score
+        # End side (nanopore_read.py:188-208).
+        for m in end_sets:
+            full_score = res['full_pct'][k]
+            partial_score = res['partial_pct'][k]
+            read_start = int(res['read_start'][k])
+            read_end = int(res['read_end_excl'][k])
+            k += 1
+            if (partial_score > end_threshold and read_start != 0
+                    and read_end - read_start >= min_trim_size):
+                trim_amount = (end_size - read_start) + extra_trim_size
+                read.end_trim_amount = max(read.end_trim_amount, trim_amount)
+                read.end_adapter_alignments.append(
+                    (m, full_score, partial_score, read_start, read_end))
+            if (check_barcodes and m.is_barcode()
+                    and m.barcode_direction() == forward_or_reverse_barcodes):
+                read.end_barcode_scores[m.get_barcode_name()] = full_score
+        if check_barcodes:
+            read.determine_barcode(barcode_threshold, barcode_diff,
+                                   require_two_barcodes)
+        if verbosity == 2:
+            per_read_lines.append(read.formatted_start_and_end_seq(
+                end_size, extra_trim_size, check_barcodes))
+        elif verbosity > 2:
+            per_read_lines.append(read.full_start_end_output(
+                end_size, extra_trim_size, check_barcodes))
+
+    if verbosity == 1:
+        for r in range(1, read_count + 1):
+            output_progress_line(r, read_count, print_dest)
+        output_progress_line(read_count, read_count, print_dest,
+                             end_newline=True)
+    elif verbosity > 1:
+        for line in per_read_lines:
+            print(line, file=print_dest)
+    if verbosity > 0:
+        print('', file=print_dest)
+
+
+def display_read_end_trimming_summary(reads, verbosity, print_dest):
+    if verbosity < 1:
+        return
+    start_trim_total = sum(x.start_trim_amount for x in reads)
+    start_trim_count = sum(1 if x.start_trim_amount else 0 for x in reads)
+    end_trim_count = sum(1 if x.end_trim_amount else 0 for x in reads)
+    end_trim_total = sum(x.end_trim_amount for x in reads)
+    print(int_to_str(start_trim_count).rjust(len(int_to_str(len(reads))))
+          + ' / ' + int_to_str(len(reads))
+          + ' reads had adapters trimmed from their start ('
+          + int_to_str(start_trim_total) + ' bp removed)', file=print_dest)
+    print(int_to_str(end_trim_count).rjust(len(int_to_str(len(reads))))
+          + ' / ' + int_to_str(len(reads))
+          + ' reads had adapters trimmed from their end ('
+          + int_to_str(end_trim_total) + ' bp removed)', file=print_dest)
+    print('\n', file=print_dest)
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: middle adapters (reference porechop.py:533-595,
+# nanopore_read.py:210-243)
+# ---------------------------------------------------------------------------
+
+def find_adapters_in_read_middles(reads, matching_sets, verbosity,
+                                  middle_threshold, extra_trim_good_side,
+                                  extra_trim_bad_side, scoring_scheme_vals,
+                                  print_dest, threads, discard_middle):
+    if verbosity > 0:
+        verb = 'Discarding' if discard_middle else 'Splitting'
+        print(bold_underline(verb + ' reads containing middle adapters'),
+              file=print_dest)
+
+    adapters = []
+    for mset in matching_sets:
+        if mset.start_sequence:
+            adapters.append(mset.start_sequence)
+        if mset.end_sequence:
+            if (not mset.start_sequence
+                    or mset.end_sequence[1] != mset.start_sequence[1]):
+                adapters.append(mset.end_sequence)
+
+    start_sequence_names = set()
+    end_sequence_names = set()
+    for mset in matching_sets:
+        if mset.start_sequence:
+            start_sequence_names.add(mset.start_sequence[0])
+        if mset.end_sequence:
+            end_sequence_names.add(mset.end_sequence[0])
+
+    read_count = len(reads)
+    if verbosity == 1:
+        output_progress_line(0, read_count, print_dest)
+
+    # Mutable masked code arrays (mask char '-' is Dna5 'N' = code 4).
+    masked = [spec.encode(r.get_seq_with_start_end_adapters_trimmed())
+              for r in reads]
+
+    for adapter_name, adapter_seq in adapters:
+        a_codes = [spec.encode(adapter_seq)]
+        active = list(range(read_count))
+        while active:
+            res = AlignJobs([masked[ri] for ri in active], a_codes,
+                            np.column_stack([np.arange(len(active)),
+                                             np.zeros(len(active), np.int64)]),
+                            scoring_scheme_vals).run()
+            next_active = []
+            for n, ri in enumerate(active):
+                full_score = res['full_pct'][n]
+                read_start = int(res['read_start'][n])
+                read_end = int(res['read_end_excl'][n])
+                if full_score >= middle_threshold:
+                    masked[ri][read_start:read_end] = END_CODE_N
+                    reads[ri].add_middle_hit(adapter_name, read_start,
+                                             read_end, full_score,
+                                             extra_trim_good_side,
+                                             extra_trim_bad_side,
+                                             start_sequence_names,
+                                             end_sequence_names)
+                    next_active.append(ri)
+            active = next_active
+
+    if verbosity == 1:
+        # The reference's threaded loop prints finished_count + 1
+        # (porechop.py:589, an off-by-one its single-thread path lacks);
+        # reproduce whichever pattern the requested thread count selects.
+        for r in range(1, read_count + 1):
+            output_progress_line(r if threads == 1 else r + 1, read_count,
+                                 print_dest)
+        output_progress_line(read_count, read_count, print_dest,
+                             end_newline=True)
+        print('', flush=True, file=print_dest)
+    if verbosity > 1:
+        for read in reads:
+            if read.middle_adapter_ranges:
+                print(read.middle_adapter_results(verbosity),
+                      file=print_dest, flush=True)
+
+
+def display_read_middle_trimming_summary(reads, discard_middle, verbosity,
+                                         print_dest):
+    if verbosity < 1:
+        return
+    middle_trim_count = sum(1 if x.middle_adapter_ranges else 0 for x in reads)
+    verb = 'discarded' if discard_middle else 'split'
+    print(int_to_str(middle_trim_count) + ' / ' + int_to_str(len(reads))
+          + ' reads were ' + verb + ' based on middle adapters\n\n',
+          file=print_dest)
+
+
+# ---------------------------------------------------------------------------
+# Progress line (reference porechop.py:737-748)
+# ---------------------------------------------------------------------------
+
+def output_progress_line(completed, total, print_dest, end_newline=False,
+                         step=10):
+    if step > 1 and completed % step != 0 and completed != total:
+        return
+    progress_str = int_to_str(completed) + ' / ' + int_to_str(total)
+    percent = 100.0 * completed / total if total > 0 else 0.0
+    progress_str += ' (' + '%.1f' % percent + '%)'
+    end_char = '\n' if end_newline else ''
+    print('\r' + progress_str, end=end_char, flush=True, file=print_dest)

@@ -1,0 +1,72 @@
+"""Synthetic nanopore-read generator for benchmarks and stress tests.
+
+Produces a deterministic FASTQ that exercises every pipeline phase the way
+real nanopore data does: most reads carry (possibly truncated, error-laden)
+SQK-NSK007 ligation adapters on their ends, a few are chimeric with a
+mid-read adapter, and the rest are clean.  Reference behaviour being
+benchmarked: the three alignment phases of porechop/porechop.py:286-595.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# SQK-NSK007 start/end adapters (reference porechop/adapters.py:79-82).
+NSK007_START = 'AATGTACTTCGTTCAGTTACGTATTGCT'
+NSK007_END = 'GCAATACGTAACTGAACGAAGT'
+
+BASES = np.frombuffer(b'ACGT', dtype=np.uint8)
+
+
+def _mutate(rng, seq: str, error_rate: float) -> str:
+    """Apply substitutions/indels at the given per-base error rate."""
+    out = []
+    for ch in seq:
+        r = rng.random()
+        if r < error_rate * 0.6:                      # substitution
+            out.append(chr(BASES[rng.integers(4)]))
+        elif r < error_rate * 0.8:                    # deletion
+            continue
+        elif r < error_rate:                          # insertion
+            out.append(ch)
+            out.append(chr(BASES[rng.integers(4)]))
+        else:
+            out.append(ch)
+    return ''.join(out)
+
+
+def synth_reads(n_reads: int = 512, read_len: int = 10_000, seed: int = 0,
+                adapter_rate: float = 0.9, chimera_rate: float = 0.05,
+                error_rate: float = 0.1):
+    """Returns a list of (name, seq, quals) tuples."""
+    rng = np.random.default_rng(seed)
+    reads = []
+    for k in range(n_reads):
+        body = rng.integers(0, 4, read_len)
+        seq = ''.join(chr(b) for b in BASES[body])
+        if rng.random() < adapter_rate:
+            seq = _mutate(rng, NSK007_START, error_rate) + seq
+        if rng.random() < adapter_rate:
+            seq = seq + _mutate(rng, NSK007_END, error_rate)
+        if rng.random() < chimera_rate:
+            mid = len(seq) // 2
+            insert = (_mutate(rng, NSK007_END, error_rate)
+                      + _mutate(rng, NSK007_START, error_rate))
+            seq = seq[:mid] + insert + seq[mid:]
+        quals = ''.join(chr(33 + int(q)) for q in
+                        rng.integers(10, 40, len(seq)))
+        reads.append(('read_%05d' % k, seq, quals))
+    return reads
+
+
+def write_fastq(path: str, reads) -> None:
+    with open(path, 'w') as f:
+        for name, seq, quals in reads:
+            f.write('@%s\n%s\n+\n%s\n' % (name, seq, quals))
+
+
+def ensure_fastq(path: str, **kwargs) -> str:
+    import os
+    if not os.path.isfile(path):
+        write_fastq(path, synth_reads(**kwargs))
+    return path
