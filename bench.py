@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Headline benchmark: reads/s trimming 10 kb synthetic nanopore reads
+end-to-end (adapter-set detection + end trim + middle scan + output),
+matching BASELINE.json's metric.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+
+vs_baseline is measured against reference Porechop (rrwick/Porechop
+v0.2.4, SeqAn C++ aligner, thread pool at min(cpu,16) threads) on the SAME
+workload.  The reference number defaults to a value measured on this
+machine (override with PORECHOP_BENCH_REF_READS_PER_S, or set
+PORECHOP_BENCH_MEASURE_REF=1 to re-measure live if /root/reference exists).
+"""
+
+import contextlib
+import io
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_READS = int(os.environ.get('PORECHOP_BENCH_READS', '512'))
+READ_LEN = int(os.environ.get('PORECHOP_BENCH_READ_LEN', '10000'))
+FASTQ = '/tmp/porechop_bench_%dx%d.fastq' % (N_READS, READ_LEN)
+
+# Reference Porechop reads/s on this workload, measured on the build host
+# (2-vCPU, default threads=min(cpu,16)=2).  See BASELINE.md for the
+# measurement table; re-measure with PORECHOP_BENCH_MEASURE_REF=1.
+REF_READS_PER_S_DEFAULT = 55.4   # 512 reads / 9.24 s, 2-vCPU build host
+
+
+def run_ours(args):
+    from porechop_tpu.cli import main
+    with contextlib.redirect_stdout(io.StringIO()), \
+            contextlib.redirect_stderr(io.StringIO()):
+        main(args)
+
+
+def measure_ours():
+    from porechop_tpu.utils import synth
+    synth.ensure_fastq(FASTQ, n_reads=N_READS, read_len=READ_LEN, seed=0)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, 'out.fastq')
+        args = ['-i', FASTQ, '-o', out, '-v', '0']
+        run_ours(args)                      # warm-up: XLA compiles
+        t0 = time.perf_counter()
+        run_ours(args)
+        wall = time.perf_counter() - t0
+    return N_READS / wall, wall
+
+
+def measure_reference():
+    """Times reference Porechop (shadow-built SeqAn .so) on the same file."""
+    from tests.test_cli_parity import _build_shadow, SHADOW
+    if not _build_shadow():
+        return None
+    code = ('import sys, time\n'
+            'sys.argv = ["porechop", "-i", %r, "-o", %r, "-v", "0"]\n'
+            't0 = time.time()\n'
+            'from porechop.porechop import main\n'
+            'main()\n'
+            'print("WALL", time.time() - t0)\n')
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, 'ref_out.fastq')
+        env = dict(os.environ, PYTHONPATH=SHADOW)
+        r = subprocess.run([sys.executable, '-c', code % (FASTQ, out)],
+                           capture_output=True, text=True, env=env,
+                           timeout=7200)
+    for line in r.stdout.splitlines():
+        if line.startswith('WALL'):
+            return N_READS / float(line.split()[1])
+    return None
+
+
+def main():
+    reads_per_s, wall = measure_ours()
+    ref = os.environ.get('PORECHOP_BENCH_REF_READS_PER_S')
+    if ref is not None:
+        ref = float(ref)
+    elif os.environ.get('PORECHOP_BENCH_MEASURE_REF'):
+        ref = measure_reference()
+    if ref is None:
+        ref = REF_READS_PER_S_DEFAULT
+    vs = (reads_per_s / ref) if ref else None
+    print(json.dumps({
+        'metric': 'reads/s end-to-end trimming %d x %dbp synthetic nanopore '
+                  'reads (detection + end trim + middle scan + output)'
+                  % (N_READS, READ_LEN),
+        'value': round(reads_per_s, 3),
+        'unit': 'reads/s',
+        'vs_baseline': round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

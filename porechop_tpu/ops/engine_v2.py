@@ -1,0 +1,413 @@
+"""Bitmap alignment engine: score-only forward DP + on-device traceback.
+
+The stat-carrying engine (ops/engine_jax.py) is exact but HBM-bound: it
+drags 27 int32 channels of path statistics through every scan step.  This
+engine carries only the three score matrices and emits one packed trace
+byte per cell; the alignment statistics are then recovered by walking those
+bits — exactly as SeqAn's traceback does — in a vectorized
+`lax.while_loop` that runs on the device, so only (B, 12) integers ever
+cross the host boundary.  ~8x less HBM traffic per DP step, no large
+device->host transfer.
+
+Exactness: the trace bits encode the same tie-breaking as the reference
+(see ops/spec.py for the full derivation; reference files
+porechop/include/seqan/align/dp_formula_affine.h, dp_traceback_impl.h,
+dp_algorithm_impl.h:1354-1369); fuzz-validated against ops/spec.py and the
+compiled SeqAn oracle in tests/test_engine_v2.py.
+
+Bit layout per cell (uint8): bit0 H_EXT, bit1 V_EXT, bit2 DIAG, bit3 MAX_V.
+The complementary choices (H_OPEN, V_OPEN, MAX_H) are the cleared states.
+A native C++ walker with identical semantics lives in
+porechop_tpu/native/traceback.cpp (used by tests as a second opinion and by
+CPU-only deployments).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .spec import NEG
+
+B_HEXT, B_VEXT, B_DIAG, B_MAXV = 1, 2, 4, 8
+
+
+def _cummax(f):
+    return lax.associative_scan(jnp.maximum, f, axis=1)
+
+
+def _gather_one(arr, idx):
+    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _forward(reads, read_lens, adapters, adapter_lens,
+             match, mismatch, gap_open, gap_ext):
+    """Forward DP.  Returns (bits (A, B, L1) uint8, best_sc (B,),
+    cell_i (B,), cell_j (B,), vflag (B,), hflag (B,)) — all on device."""
+    B, L = reads.shape
+    A = adapters.shape[1]
+    L1 = L + 1
+    dtype = jnp.int32
+
+    reads = reads.astype(dtype)
+    read_lens = read_lens.astype(dtype)
+    adapter_lens = adapter_lens.astype(dtype)
+    j_idx = jnp.arange(L1, dtype=dtype)[None, :]
+    jcols = jnp.broadcast_to(j_idx, (B, L1))
+
+    m0 = jnp.zeros((B, L1), dtype)
+    v0 = jnp.full((B, L1), NEG, dtype)
+    h0 = jnp.full((B, L1), NEG, dtype)
+
+    # Final-column (j = read_len) scout candidates, tracked per row.
+    col_best_sc = jnp.zeros((B,), dtype)       # M(0, len) = 0
+    col_best_i = jnp.zeros((B,), dtype)
+    col_vflag = jnp.zeros((B,), jnp.bool_)
+    col_hflag = jnp.zeros((B,), jnp.bool_)
+
+    def step(carry, xs):
+        m, v, h, col_best_sc, col_best_i, col_vflag, col_hflag = carry
+        a_codes, row = xs
+        active = row <= adapter_lens
+        act2 = active[:, None]
+
+        # V matrix (elementwise from previous row).
+        v_ext = v + gap_ext
+        v_open = m + gap_open
+        vbit = v_ext >= v_open
+        nv = jnp.where(vbit, v_ext, v_open)
+        nv = nv.at[:, 0].set(NEG)
+
+        # Diagonal candidates.
+        eq = reads == a_codes[:, None]
+        sub = jnp.where(eq, match, mismatch)
+        d = jnp.concatenate([jnp.full((B, 1), NEG, dtype), m[:, :-1] + sub],
+                            axis=1)
+
+        # pre = max(diag, V) with diag winning ties; boundary col = 0.
+        pre = jnp.maximum(d, nv)
+        pre = pre.at[:, 0].set(0)
+
+        # H row via running max over opening points (valid for open < ext):
+        # H(j) = max_{k<j} pre(k) + open + (j-k-1)*ext.
+        f = pre + gap_open - (jcols + 1) * gap_ext
+        cum = _cummax(f)
+        nh = jnp.concatenate(
+            [jnp.full((B, 1), NEG, dtype),
+             cum[:, :-1] + jcols[:, 1:] * gap_ext], axis=1)
+
+        # M row and trace bits.
+        nm = jnp.maximum(pre, nh)
+        nm = nm.at[:, 0].set(0)
+        hbit = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.bool_),
+             nh[:, :-1] + gap_ext >= nm[:, :-1] + gap_open], axis=1)
+        dbit = d >= jnp.maximum(nv, nh)
+        mvbit = nv >= nh
+        bits = (hbit.astype(jnp.uint8)
+                | (vbit.astype(jnp.uint8) << 1)
+                | (dbit.astype(jnp.uint8) << 2)
+                | (mvbit.astype(jnp.uint8) << 3))
+
+        # Freeze lanes whose adapter already ended.
+        m_out = jnp.where(act2, nm, m)
+        v_out = jnp.where(act2, nv, v)
+        h_out = jnp.where(act2, nh, h)
+
+        # Final-column scout candidate at (row, read_len); first strict max.
+        cand_m = _gather_one(nm, read_lens)
+        cand_v = _gather_one(nv, read_lens)
+        cand_h = _gather_one(nh, read_lens)
+        better = active & (cand_m > col_best_sc)
+        col_best_sc = jnp.where(better, cand_m, col_best_sc)
+        col_best_i = jnp.where(better, row, col_best_i)
+        uv = cand_v == cand_m
+        uh = (~uv) & (cand_h == cand_m)
+        col_vflag = jnp.where(better, uv, col_vflag)
+        col_hflag = jnp.where(better, uh, col_hflag)
+
+        return (m_out, v_out, h_out,
+                col_best_sc, col_best_i, col_vflag, col_hflag), bits
+
+    rows = jnp.arange(1, A + 1, dtype=dtype)
+    carry = (m0, v0, h0, col_best_sc, col_best_i, col_vflag, col_hflag)
+    carry, bits = lax.scan(step, carry, (adapters.T.astype(dtype), rows))
+    m, v, h, col_best_sc, col_best_i, col_vflag, col_hflag = carry
+
+    # Last-row scout candidates (j in [0, read_len)), first max wins.
+    valid = jcols < read_lens[:, None]
+    masked = jnp.where(valid, m, NEG - 1)
+    j_star = jnp.argmax(masked, axis=1).astype(dtype)
+    row_sc = _gather_one(m, j_star)
+    row_v = _gather_one(v, j_star)
+    row_h = _gather_one(h, j_star)
+    row_vflag = row_v == row_sc
+    row_hflag = (~row_vflag) & (row_h == row_sc)
+
+    # Last-row candidates precede final-column ones in scout order.
+    col_wins = col_best_sc > row_sc
+    best_sc = jnp.where(col_wins, col_best_sc, row_sc)
+    cell_i = jnp.where(col_wins, col_best_i, adapter_lens)
+    cell_j = jnp.where(col_wins, read_lens, j_star)
+    vflag = jnp.where(col_wins, col_vflag, row_vflag)
+    hflag = jnp.where(col_wins, col_hflag, row_hflag)
+    return bits, best_sc, cell_i, cell_j, vflag, hflag
+
+
+@jax.jit
+def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
+    """Vectorized traceback over the trace bits: one move per iteration per
+    lane, replicating SeqAn's GapsLeft walker (spec.py `_traceback_moves`).
+
+    Returns per-lane reverse-walk aggregates (all int32):
+      i0, j0          — cell where the walk stopped (head sizes)
+      n_path          — number of path columns
+      matches         — diagonal columns with equal Dna5 codes
+      rd_tmin/rd_tmax — first/last reverse-step index holding a read base
+      ad_tmin/ad_tmax — same for adapter bases (-1 when none)
+      s_ar_rev        — adapter bases strictly before the LAST read column
+      s_ra_rev        — read bases strictly before the LAST adapter column
+    """
+    A, B, L1 = bits.shape
+    flat = bits.reshape(A * B * L1)
+    lane = jnp.arange(B, dtype=jnp.int32)
+    i = cell_i.astype(jnp.int32)
+    j = cell_j.astype(jnp.int32)
+
+    # mode: 0 dispatch, 1 vertical run, 2 horizontal run.
+    mode = jnp.where(vflag & (i > 0) & (j > 0), 1,
+                     jnp.where(hflag & (i > 0) & (j > 0), 2, 0)
+                     ).astype(jnp.int32)
+
+    t = jnp.zeros((B,), jnp.int32)
+    matches = jnp.zeros((B,), jnp.int32)
+    rd_tmin = jnp.full((B,), -1, jnp.int32)
+    rd_tmax = jnp.full((B,), -1, jnp.int32)
+    ad_tmin = jnp.full((B,), -1, jnp.int32)
+    ad_tmax = jnp.full((B,), -1, jnp.int32)
+    s_ar_rev = jnp.zeros((B,), jnp.int32)
+    s_ra_rev = jnp.zeros((B,), jnp.int32)
+
+    def cond(state):
+        i, j = state[0], state[1]
+        return jnp.any((i > 0) & (j > 0))
+
+    def body(state):
+        (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
+         s_ar_rev, s_ra_rev) = state
+        act = (i > 0) & (j > 0)
+        tv = flat[(i - 1) * (B * L1) + lane * L1 + j]
+        hx = (tv & B_HEXT) != 0
+        vx = (tv & B_VEXT) != 0
+        dg = (tv & B_DIAG) != 0
+        mv = (tv & B_MAXV) != 0
+
+        disp = mode == 0
+        go_diag = disp & dg
+        go_vert = (mode == 1) | (disp & (~dg) & mv)
+        go_hori = (mode == 2) | (disp & (~dg) & (~mv))
+
+        # One move per iteration.
+        di = jnp.where(go_diag | go_vert, 1, 0)
+        dj = jnp.where(go_diag | go_hori, 1, 0)
+        new_mode = jnp.where(go_vert & (i != 1) & vx, 1,
+                             jnp.where(go_hori & (j != 1) & hx, 2, 0))
+
+        # Reverse-order statistics.  Column holds a read base for D/H moves,
+        # an adapter base for D/V moves.
+        has_rd = go_diag | go_hori
+        has_ad = go_diag | go_vert
+        rcode = jnp.take(reads.reshape(-1),
+                         lane * reads.shape[1] + jnp.maximum(j - 1, 0))
+        acode = jnp.take(adapters.reshape(-1),
+                         lane * adapters.shape[1] + jnp.maximum(i - 1, 0))
+        is_match = go_diag & (rcode == acode)
+
+        def upd(x, new, pred):
+            return jnp.where(act & pred, new, x)
+
+        matches = upd(matches, matches + 1, is_match)
+        first_rd = has_rd & (rd_tmin < 0)
+        rd_tmin = upd(rd_tmin, t, first_rd)
+        rd_tmax = upd(rd_tmax, t, has_rd)
+        # adapter bases strictly before the read column = i-1 for D, i for H.
+        s_ar_rev = upd(s_ar_rev, jnp.where(go_diag, i - 1, i), first_rd)
+        first_ad = has_ad & (ad_tmin < 0)
+        ad_tmin = upd(ad_tmin, t, first_ad)
+        ad_tmax = upd(ad_tmax, t, has_ad)
+        s_ra_rev = upd(s_ra_rev, jnp.where(go_diag, j - 1, j), first_ad)
+
+        i = jnp.where(act, i - di, i)
+        j = jnp.where(act, j - dj, j)
+        mode = jnp.where(act, new_mode, mode)
+        t = jnp.where(act, t + 1, t)
+        return (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
+                s_ar_rev, s_ra_rev)
+
+    state = (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
+             s_ar_rev, s_ra_rev)
+    state = lax.while_loop(cond, body, state)
+    (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
+     s_ar_rev, s_ra_rev) = state
+    return jnp.stack([i, j, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
+                      s_ar_rev, s_ra_rev], axis=1)
+
+
+def finish_v2(walk, best_sc, cell_i, cell_j, read_lens, adapter_lens):
+    """Host assembly: head/path/tail columns -> the reference 7-tuple
+    fields (alignment.cpp:26-121 semantics, mirroring spec._assemble)."""
+    walk = np.asarray(walk).astype(np.int64)
+    (i0, j0, n_path, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
+     s_ar_rev, s_ra_rev) = (walk[:, k] for k in range(10))
+    best_sc = np.asarray(best_sc).astype(np.int64)
+    bi = np.asarray(cell_i).astype(np.int64)
+    bj = np.asarray(cell_j).astype(np.int64)
+    lr = np.asarray(read_lens).astype(np.int64)
+    la = np.asarray(adapter_lens).astype(np.int64)
+    BIGV = np.int64(1) << 60
+
+    head = i0 + j0
+    cols = head + n_path
+
+    # Path-local stats in forward columns: col(t) = head + n_path - 1 - t.
+    has_rd_path = rd_tmax >= 0
+    frc = np.where(has_rd_path, head + n_path - 1 - rd_tmax, BIGV)
+    lrc = np.where(has_rd_path, head + n_path - 1 - rd_tmin, -1)
+    s_ar = np.where(has_rd_path, s_ar_rev, 0)
+    has_ad_path = ad_tmax >= 0
+    fac = np.where(has_ad_path, head + n_path - 1 - ad_tmax, BIGV)
+    lac = np.where(has_ad_path, head + n_path - 1 - ad_tmin, -1)
+    s_ra = np.where(has_ad_path, s_ra_rev, 0)
+
+    # Head segment: cols [0, i0) adapter bases, or [0, j0) read bases.
+    ad_head = i0 > 0
+    fac = np.where(ad_head, 0, fac)
+    lac = np.where(ad_head & ~has_ad_path, i0 - 1, lac)
+    s_ra = np.where(ad_head & ~has_ad_path, 0, s_ra)
+    rd_head = j0 > 0
+    frc = np.where(rd_head, 0, frc)
+    lrc = np.where(rd_head & ~has_rd_path, j0 - 1, lrc)
+    s_ar = np.where(rd_head & ~has_rd_path, 0, s_ar)
+
+    # Tails: read tail first, then adapter tail (dp_traceback_impl.h:528-536).
+    has_rtail = bj < lr
+    frc = np.where(has_rtail, np.minimum(frc, cols), frc)
+    lrc = np.where(has_rtail, cols + (lr - bj) - 1, lrc)
+    s_ar = np.where(has_rtail, bi, s_ar)
+    cols = cols + np.where(has_rtail, lr - bj, 0)
+    has_atail = bi < la
+    fac = np.where(has_atail, np.minimum(fac, cols), fac)
+    lac = np.where(has_atail, cols + (la - bi) - 1, lac)
+    s_ra = np.where(has_atail, lr, s_ra)
+
+    aln_start = np.maximum(frc, fac)
+    aln_end = np.minimum(lrc, lac)
+    read_start = np.where(fac >= frc, fac, 0)
+    adapter_start = np.where(frc >= fac, frc, 0)
+    read_end = np.where(lrc <= lac, lr - 1, s_ra)
+    adapter_end = np.where(lac <= lrc, la - 1, s_ar)
+    aligned_len = aln_end - aln_start + 1
+    matches = np.where(aligned_len <= 0, 0, matches)
+    aligned_len = np.maximum(aligned_len, 0)
+    full_len = lac - fac + 1
+
+    failed = (lr == 0) | (la == 0) | (frc >= BIGV) | (fac >= BIGV)
+    read_start = np.where(failed, -1, read_start)
+    return dict(read_start=read_start, read_end=read_end,
+                adapter_start=adapter_start, adapter_end=adapter_end,
+                raw_score=np.where(failed, -(2 ** 31), best_sc),
+                matches=np.where(failed, 0, matches),
+                aligned_len=np.where(failed, 0, aligned_len),
+                full_len=np.where(failed, 0, full_len))
+
+
+def native_stats(bits, reads, adapters, cell_i, cell_j, vflag, hflag,
+                 best_sc, read_lens, adapter_lens):
+    """Walk the trace bits with the native C++ walker
+    (porechop_tpu/native/traceback.cpp) instead of the device while_loop.
+    Used by CPU-only deployments and as an independent cross-check in tests.
+    Inputs are host numpy arrays; bits has shape (A, B, L1)."""
+    import ctypes
+
+    from .. import native
+    lib = native.traceback_lib()
+    assert lib is not None, 'native traceback unavailable (no g++?)'
+
+    bits = np.ascontiguousarray(bits, np.uint8)
+    reads = np.ascontiguousarray(reads, np.int8)
+    adapters = np.ascontiguousarray(adapters, np.int8)
+    cell_i = np.ascontiguousarray(cell_i, np.int32)
+    cell_j = np.ascontiguousarray(cell_j, np.int32)
+    vflag = np.ascontiguousarray(vflag, np.uint8)
+    hflag = np.ascontiguousarray(hflag, np.uint8)
+    rl = np.ascontiguousarray(read_lens, np.int32)
+    al = np.ascontiguousarray(adapter_lens, np.int32)
+    A, B, L1 = bits.shape
+    L = reads.shape[1]
+    assert L1 == L + 1 and adapters.shape[1] == A
+    out = np.zeros((B, 8), np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.traceback_stats(p(bits, ctypes.c_uint8), p(reads, ctypes.c_int8),
+                        p(adapters, ctypes.c_int8), p(cell_i, ctypes.c_int32),
+                        p(cell_j, ctypes.c_int32), p(vflag, ctypes.c_uint8),
+                        p(hflag, ctypes.c_uint8), p(rl, ctypes.c_int32),
+                        p(al, ctypes.c_int32), B, L, A,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    best_sc = np.asarray(best_sc).astype(np.int64)
+    lr = np.asarray(read_lens).astype(np.int64)
+    la = np.asarray(adapter_lens).astype(np.int64)
+    failed = (lr == 0) | (la == 0) | (out[:, 0] == -1)
+    return dict(read_start=np.where(failed, -1, out[:, 0]),
+                read_end=out[:, 1], adapter_start=out[:, 2],
+                adapter_end=out[:, 3],
+                raw_score=np.where(failed, -(2 ** 31), best_sc),
+                matches=np.where(failed, 0, out[:, 4]),
+                aligned_len=np.where(failed, 0, out[:, 5]),
+                full_len=np.where(failed, 0, out[:, 6]))
+
+
+def align_batch_native(reads_pad, read_lens, adapters_pad, adapter_lens,
+                       scoring=(3, -6, -5, -2)):
+    """align_batch variant that walks the bits with the C++ walker."""
+    assert supports(scoring)
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    reads_d = jnp.asarray(reads_pad, jnp.int8)
+    adapters_d = jnp.asarray(adapters_pad, jnp.int8)
+    bits, best_sc, cell_i, cell_j, vflag, hflag = _forward(
+        reads_d, jnp.asarray(read_lens, jnp.int32),
+        adapters_d, jnp.asarray(adapter_lens, jnp.int32),
+        match, mismatch, gap_open, gap_ext)
+    return native_stats(np.asarray(bits), np.asarray(reads_pad),
+                        np.asarray(adapters_pad), np.asarray(cell_i),
+                        np.asarray(cell_j), np.asarray(vflag, np.uint8),
+                        np.asarray(hflag, np.uint8), np.asarray(best_sc),
+                        read_lens, adapter_lens)
+
+
+def supports(scoring) -> bool:
+    _, _, gap_open, gap_ext = scoring
+    return gap_open < gap_ext
+
+
+def align_batch(reads_pad, read_lens, adapters_pad, adapter_lens,
+                scoring=(3, -6, -5, -2)):
+    """Same contract as engine_jax.align_batch."""
+    assert supports(scoring)
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    reads_d = jnp.asarray(reads_pad, jnp.int8)
+    adapters_d = jnp.asarray(adapters_pad, jnp.int8)
+    bits, best_sc, cell_i, cell_j, vflag, hflag = _forward(
+        reads_d, jnp.asarray(read_lens, jnp.int32),
+        adapters_d, jnp.asarray(adapter_lens, jnp.int32),
+        match, mismatch, gap_open, gap_ext)
+    walk = _traceback(bits, reads_d, adapters_d, cell_i, cell_j, vflag, hflag)
+    return finish_v2(walk, best_sc, cell_i, cell_j, read_lens, adapter_lens)
