@@ -14,10 +14,14 @@ overhead (~hundreds of ms on tunneled devices).
 from __future__ import annotations
 
 import os
+import sys
+import time
 
 import numpy as np
 
 from . import spec
+
+_TIMING = bool(os.environ.get('PORECHOP_TPU_TIMING'))
 
 # Window-length ladder: fine-grained at the small end (end windows), then
 # geometric.  One compile per rung actually used.
@@ -133,7 +137,15 @@ class AlignJobs:
             per_launch = max(_MIN_LANES, _CELL_BUDGET // (lb + 1))
             for lo in range(0, len(idxs), per_launch):
                 chunk = idxs[lo:lo + per_launch]
+                t0 = time.perf_counter() if _TIMING else 0.0
                 self._run_chunk(chunk, lb, amax, out, use_jax)
+                if _TIMING:
+                    dt = time.perf_counter() - t0
+                    cells = len(chunk) * (lb + 1) * amax
+                    print('[timing] launch B=%d L=%d A=%d: %.3fs '
+                          '(%.2e cells/s)' % (len(chunk), lb, amax, dt,
+                                              cells / max(dt, 1e-9)),
+                          file=sys.stderr, flush=True)
         return self._package(out)
 
     def _jax_supports(self):

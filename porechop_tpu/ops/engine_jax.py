@@ -51,7 +51,19 @@ def _cummax_with_argmax(f, k):
         fb, kb = b
         take_b = (fb > fa) | ((fb == fa) & (kb < ka))
         return jnp.where(take_b, fb, fa), jnp.where(take_b, kb, ka)
-    return lax.associative_scan(combine, (f, k), axis=1)
+
+    # Log-shift passes instead of lax.associative_scan: equivalent result,
+    # far smaller HLO (associative_scan's recursion at non-power-of-two
+    # lengths compiles for minutes at L ~ 10k).
+    L1 = f.shape[1]
+    jcol = jnp.arange(L1, dtype=f.dtype)[None, :]
+    n_pass = max(1, (L1 - 1).bit_length())
+    for p in range(n_pass):
+        sh = 1 << p
+        fr = jnp.where(jcol < sh, NEG, jnp.roll(f, sh, axis=1))
+        kr = jnp.where(jcol < sh, 0, jnp.roll(k, sh, axis=1))
+        f, k = combine((f, k), (fr, kr))
+    return f, k
 
 
 def _gather_cols(st, idx):

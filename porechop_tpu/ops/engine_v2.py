@@ -38,7 +38,18 @@ B_HEXT, B_VEXT, B_DIAG, B_MAXV = 1, 2, 4, 8
 
 
 def _cummax(f):
-    return lax.associative_scan(jnp.maximum, f, axis=1)
+    """Running max along axis 1 via log-shift passes.  Equivalent to
+    lax.associative_scan(jnp.maximum, ...) but generates a far smaller HLO
+    graph (the associative_scan recursion at non-power-of-two lengths
+    produces thousands of slice ops and minutes-long compiles at L ~ 10k)."""
+    L1 = f.shape[1]
+    jcol = jnp.arange(L1, dtype=jnp.int32)[None, :]
+    n_pass = max(1, (L1 - 1).bit_length())
+    for k in range(n_pass):
+        sh = 1 << k
+        rolled = jnp.roll(f, sh, axis=1)
+        f = jnp.maximum(f, jnp.where(jcol < sh, NEG, rolled))
+    return f
 
 
 def _gather_one(arr, idx):

@@ -1,0 +1,262 @@
+"""Pallas TPU kernel for the bitmap forward DP.
+
+The jnp scan in ops/engine_v2.py is HBM-bound: every adapter row re-reads
+and re-writes the (B, L1) score state from HBM, and the in-row cumulative
+max costs log2(L) more full passes.  This kernel keeps the whole DP state
+of a 32-lane block resident in VMEM for the entire adapter loop, so HBM
+traffic collapses to: read the codes once, write one trace byte per cell,
+and a few scalars per lane.
+
+Semantics are identical to engine_v2._forward (same trace-bit encoding,
+same scout/tie-break rules — see ops/spec.py for the reference derivation
+into SeqAn, porechop/include/seqan/align/*); parity is enforced by
+tests/test_kernel_pallas.py which runs both forwards against the
+executable spec.
+
+Layout notes (see the Pallas TPU guide):
+* grid = (B / 32, A): the adapter-row axis is the inner (fastest) grid
+  dimension; the DP state lives in VMEM scratch, which persists across
+  inner grid steps on the same core (the standard accumulator pattern), so
+  each row step reads/writes only VMEM while the per-row bits block
+  pipelines out to HBM;
+* lanes per grid program = 32 so the uint8 bits tile (32, 128) is aligned;
+* all row vectors are (32, L1p) with L1p = L+1 rounded up to 128;
+* the in-row H recurrence uses a log-shift prefix max over VMEM;
+* per-lane dynamic columns (j = read_len) are resolved with masked
+  reductions instead of gathers (TPU-friendly);
+* the last-row "first maximum" scout uses an integer key
+  m * 2^14 + (2^14 - 1 - j), valid because |scores| <= ~330 * gap bound
+  inside the tracked region and L1p <= 2^14 (the dispatcher routes larger
+  buckets to the jnp engine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spec import NEG
+
+LANES = 32
+MAX_L1P = 1 << 14          # key-trick bound; larger buckets use the jnp path
+_JKEY = 1 << 14
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
+                    bits_ref, best_ref, celli_ref, cellj_ref,
+                    vflag_ref, hflag_ref,
+                    m_ref, v_ref, h_ref,
+                    tsc_ref, ti_ref, tvf_ref, thf_ref,
+                    *, A, L1p, match, mismatch, gap_open, gap_ext):
+    """Grid program (b, i): DP row i+1 for lane block b.
+
+    reads_ref:    (LANES, L1p) int32 — read code at column j is read[j-1]
+                  (pre-shifted by one; col 0 and padding hold code 4).
+    alens_ref:    (LANES, 1) int32 adapter lengths.
+    rlens_ref:    (LANES, 1) int32 read lengths.
+    acode_ref:    (1, LANES, 1) int32 — this row's adapter code per lane
+                  (blocked over the row grid axis; avoids unaligned dynamic
+                  slices, which Mosaic rejects).
+    bits_ref:     (1, LANES, L1p) uint8 — this row's trace bytes.
+    best/celli/cellj/vflag/hflag: (LANES, 1) int32 outputs (final row only).
+    m/v/h_ref:    (LANES, L1p) int32 VMEM scratch (DP state, carried).
+    tsc/ti/tvf/thf_ref: (LANES, 1) int32 VMEM scratch — the running
+                  final-column scout candidate (score, row, V==M, H==M).
+    """
+    i = pl.program_id(1)
+    row = i + 1                                          # 1-based DP row
+    jcol = lax.broadcasted_iota(jnp.int32, (LANES, L1p), 1)
+    rlen = rlens_ref[:, 0][:, None]                      # (LANES, 1)
+    alen = alens_ref[:, 0][:, None]
+    col_is_len = jcol == rlen
+    col0 = jcol == 0
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.zeros((LANES, L1p), jnp.int32)
+        v_ref[:] = jnp.full((LANES, L1p), NEG, jnp.int32)
+        h_ref[:] = jnp.full((LANES, L1p), NEG, jnp.int32)
+        tsc_ref[:] = jnp.zeros((LANES, 1), jnp.int32)    # col best=M(0,len)=0
+        ti_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        tvf_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        thf_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+
+    m = m_ref[:]
+    v = v_ref[:]
+    a_code = acode_ref[0]                                # (LANES, 1)
+
+    # V matrix.
+    v_ext = v + gap_ext
+    v_open = m + gap_open
+    vbit = v_ext >= v_open
+    nv = jnp.where(vbit, v_ext, v_open)
+    nv = jnp.where(col0, NEG, nv)
+
+    # Diagonal: d[j] = m[j-1] + sub[j]  (reads pre-shifted by one column).
+    eq = reads_ref[:] == a_code
+    sub = jnp.where(eq, match, mismatch)
+    m_shift = pltpu.roll(m, 1, 1)
+    d = jnp.where(col0, NEG, m_shift + sub)
+
+    pre = jnp.maximum(d, nv)
+    pre = jnp.where(col0, 0, pre)
+
+    # H row: prefix max of f, then shift right one column.
+    f = pre + gap_open - (jcol + 1) * gap_ext
+    n_pass = max(1, (L1p - 1).bit_length())
+
+    cum = f
+    for k in range(n_pass):            # static shifts — keep Mosaic happy
+        sh = 1 << k
+        rolled = pltpu.roll(cum, sh, 1)
+        rolled = jnp.where(jcol < sh, NEG, rolled)
+        cum = jnp.maximum(cum, rolled)
+    cum_shift = pltpu.roll(cum, 1, 1)
+    nh = jnp.where(col0, NEG, cum_shift + jcol * gap_ext)
+
+    nm = jnp.maximum(pre, nh)
+    nm = jnp.where(col0, 0, nm)
+
+    # Trace bits.
+    nh_shift = pltpu.roll(nh, 1, 1)
+    nm_shift = pltpu.roll(nm, 1, 1)
+    hbit = (~col0) & (nh_shift + gap_ext >= nm_shift + gap_open)
+    dbit = d >= jnp.maximum(nv, nh)
+    mvbit = nv >= nh
+    # int32 arithmetic, one cast at the end (int8 shifts don't legalize).
+    bits32 = (hbit.astype(jnp.int32) + vbit.astype(jnp.int32) * 2
+              + dbit.astype(jnp.int32) * 4 + mvbit.astype(jnp.int32) * 8)
+    bits_ref[0] = bits32.astype(jnp.uint8)
+
+    # Freeze lanes whose adapter already ended.
+    active = row <= alen                                 # (LANES, 1)
+    m_ref[:] = jnp.where(active, nm, m)
+    v_ref[:] = jnp.where(active, nv, v)
+    h_ref[:] = jnp.where(active, nh, h_ref[:])
+
+    # Final-column scout candidate via masked reductions (no gathers).
+    cand_m = jnp.max(jnp.where(col_is_len, nm, NEG), axis=1)     # (LANES,)
+    cand_v = jnp.max(jnp.where(col_is_len, nv, NEG), axis=1)
+    cand_h = jnp.max(jnp.where(col_is_len, nh, NEG), axis=1)
+    act1 = active[:, 0]
+    better = act1 & (cand_m > tsc_ref[:, 0])
+    uv = cand_v == cand_m
+    uh = (~uv) & (cand_h == cand_m)
+    b2 = better[:, None]
+    tsc_ref[:] = jnp.where(b2, cand_m[:, None], tsc_ref[:])
+    ti_ref[:] = jnp.where(b2, row, ti_ref[:])
+    tvf_ref[:] = jnp.where(b2, uv.astype(jnp.int32)[:, None], tvf_ref[:])
+    thf_ref[:] = jnp.where(b2, uh.astype(jnp.int32)[:, None], thf_ref[:])
+
+    # Scout election on the last row.
+    @pl.when(i == A - 1)
+    def _():
+        mf = m_ref[:]
+        vf = v_ref[:]
+        hf = h_ref[:]
+        valid = jcol < rlen
+        key = jnp.where(valid, mf * _JKEY + (_JKEY - 1 - jcol),
+                        jnp.int32(-2 ** 31) + 1)
+        best_key = jnp.max(key, axis=1)                  # (LANES,)
+        row_sc = best_key >> 14                          # floor-div decode
+        j_star = (_JKEY - 1) - (best_key - row_sc * _JKEY)
+        sel = valid & (key == best_key[:, None])
+        row_v = jnp.max(jnp.where(sel, vf, NEG), axis=1)
+        row_h = jnp.max(jnp.where(sel, hf, NEG), axis=1)
+        row_vf = row_v == row_sc
+        row_hf = (~row_vf) & (row_h == row_sc)
+
+        col_sc, col_i = tsc_ref[:, 0], ti_ref[:, 0]
+        col_vf, col_hf = tvf_ref[:, 0] != 0, thf_ref[:, 0] != 0
+        col_wins = col_sc > row_sc
+        best_ref[:, 0] = jnp.where(col_wins, col_sc, row_sc)
+        celli_ref[:, 0] = jnp.where(col_wins, col_i, alen[:, 0])
+        cellj_ref[:, 0] = jnp.where(col_wins, rlen[:, 0], j_star)
+        vflag_ref[:, 0] = jnp.where(col_wins, col_vf.astype(jnp.int32),
+                                    row_vf.astype(jnp.int32))
+        hflag_ref[:, 0] = jnp.where(col_wins, col_hf.astype(jnp.int32),
+                                    row_hf.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def forward_pallas(reads, read_lens, adapters, adapter_lens,
+                   match, mismatch, gap_open, gap_ext):
+    """Drop-in replacement for engine_v2._forward (bits come back as
+    (A, B, L1p) with L1p >= L+1; the extra columns are padding the
+    traceback never visits).
+
+    reads (B, L) int8, adapters (B, A) int8; B must be a multiple of LANES.
+    """
+    B, L = reads.shape
+    A = adapters.shape[1]
+    assert B % LANES == 0, B
+    L1p = _round_up(L + 1, 128)
+    assert L1p <= MAX_L1P, (L1p, 'bucket too large for the pallas kernel')
+
+    # Pre-shift reads by one column: column j holds read[j-1].
+    reads32 = jnp.pad(reads.astype(jnp.int32), ((0, 0), (1, L1p - L - 1)),
+                      constant_values=4)
+    # Per-row adapter codes, blocked over the row grid axis: (A, B, 1).
+    acodes = adapters.astype(jnp.int32).T[:, :, None]
+    rlens = read_lens.astype(jnp.int32).reshape(B, 1)
+    alens = adapter_lens.astype(jnp.int32).reshape(B, 1)
+
+    kernel = functools.partial(
+        _forward_kernel, A=A, L1p=L1p, match=match, mismatch=mismatch,
+        gap_open=gap_open, gap_ext=gap_ext)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((A, B, L1p), jnp.uint8),     # bits
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),          # best score
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),          # cell_i
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),          # cell_j
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),          # vflag
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),          # hflag
+    )
+
+    def small():
+        return pl.BlockSpec((LANES, 1), lambda b, i: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    bits, best, celli, cellj, vflag, hflag = pl.pallas_call(
+        kernel,
+        grid=(B // LANES, A),
+        in_specs=[
+            pl.BlockSpec((LANES, L1p), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            small(),
+            small(),
+            pl.BlockSpec((1, LANES, 1), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, LANES, L1p), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            small(), small(), small(), small(), small(),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((LANES, L1p), jnp.int32),
+            pltpu.VMEM((LANES, L1p), jnp.int32),
+            pltpu.VMEM((LANES, L1p), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+        ],
+    )(reads32, alens, rlens, acodes)
+    return (bits, best[:, 0], celli[:, 0], cellj[:, 0],
+            vflag[:, 0] != 0, hflag[:, 0] != 0)
+
+
+def supports_shape(B, L, A) -> bool:
+    return B % LANES == 0 and _round_up(L + 1, 128) <= MAX_L1P

@@ -400,22 +400,63 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
     # Mutable masked code arrays (mask char '-' is Dna5 'N' = code 4).
     masked = [spec.encode(r.get_seq_with_start_end_adapters_trimmed())
               for r in reads]
+    a_code_list = [spec.encode(seq) for _, seq in adapters]
 
-    for adapter_name, adapter_seq in adapters:
-        a_codes = [spec.encode(adapter_seq)]
-        active = list(range(read_count))
+    # Round 0: ONE dense launch of every (read, adapter) pair against the
+    # still-unmasked sequences.  The reference masks hits of earlier
+    # adapters before aligning later ones (nanopore_read.py:216-243), but
+    # for a read with NO hit from ANY adapter no masking ever happens, so
+    # every one of its reference alignments sees exactly this input — those
+    # reads (the overwhelming majority) are finished after this launch.
+    n_ad = len(adapters)
+    round0 = None
+    if n_ad and read_count:
+        pairs0 = np.column_stack([
+            np.tile(np.arange(read_count, dtype=np.int64), n_ad),
+            np.repeat(np.arange(n_ad, dtype=np.int64), read_count)])
+        round0 = AlignJobs(masked, a_code_list, pairs0,
+                           scoring_scheme_vals).run()
+        hit_any = np.zeros(read_count, dtype=bool)
+        for ai in range(n_ad):
+            sl = slice(ai * read_count, (ai + 1) * read_count)
+            hit_any |= round0['full_pct'][sl] >= middle_threshold
+        fallback = [ri for ri in range(read_count) if hit_any[ri]]
+    else:
+        fallback = []
+
+    # Reads with >= 1 hit replay the reference's exact adapter-by-adapter,
+    # mask-and-retry order; round-0 results stand in for a (read, adapter)
+    # first iteration as long as that read is still unmasked.
+    dirty = np.zeros(read_count, dtype=bool)
+    for ai, (adapter_name, adapter_seq) in enumerate(adapters):
+        active = list(fallback)
+        first_iter = True
         while active:
-            res = AlignJobs([masked[ri] for ri in active], a_codes,
-                            np.column_stack([np.arange(len(active)),
-                                             np.zeros(len(active), np.int64)]),
-                            scoring_scheme_vals).run()
+            need = [ri for ri in active if dirty[ri] or not first_iter]
+            results = {}
+            for ri in active:
+                if not (dirty[ri] or not first_iter):
+                    k = ai * read_count + ri
+                    results[ri] = (round0['full_pct'][k],
+                                   int(round0['read_start'][k]),
+                                   int(round0['read_end_excl'][k]))
+            if need:
+                res = AlignJobs([masked[ri] for ri in need],
+                                [a_code_list[ai]],
+                                np.column_stack([
+                                    np.arange(len(need), dtype=np.int64),
+                                    np.zeros(len(need), np.int64)]),
+                                scoring_scheme_vals).run()
+                for n, ri in enumerate(need):
+                    results[ri] = (res['full_pct'][n],
+                                   int(res['read_start'][n]),
+                                   int(res['read_end_excl'][n]))
             next_active = []
-            for n, ri in enumerate(active):
-                full_score = res['full_pct'][n]
-                read_start = int(res['read_start'][n])
-                read_end = int(res['read_end_excl'][n])
+            for ri in active:
+                full_score, read_start, read_end = results[ri]
                 if full_score >= middle_threshold:
                     masked[ri][read_start:read_end] = END_CODE_N
+                    dirty[ri] = True
                     reads[ri].add_middle_hit(adapter_name, read_start,
                                              read_end, full_score,
                                              extra_trim_good_side,
@@ -424,6 +465,7 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
                                              end_sequence_names)
                     next_active.append(ri)
             active = next_active
+            first_iter = False
 
     if verbosity == 1:
         # The reference's threaded loop prints finished_count + 1
