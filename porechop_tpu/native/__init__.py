@@ -29,15 +29,23 @@ _CACHE = os.environ.get(
 _libs = {}
 
 
+_SOURCES = {
+    'core': ['traceback.cpp', 'align_host.cpp'],
+}
+
+
 def _build(name: str):
-    src = os.path.join(_DIR, name + '.cpp')
-    with open(src, 'rb') as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_CACHE, '%s-%s.so' % (name, digest))
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES.get(name, [name + '.cpp'])]
+    hasher = hashlib.sha256()
+    for src in srcs:
+        with open(src, 'rb') as f:
+            hasher.update(f.read())
+    so_path = os.path.join(_CACHE, '%s-%s.so' % (name, hasher.hexdigest()[:16]))
     if not os.path.isfile(so_path):
         os.makedirs(_CACHE, exist_ok=True)
         tmp = so_path + '.%d.tmp' % os.getpid()
-        cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', src, '-o', tmp]
+        cmd = (['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread']
+               + srcs + ['-o', tmp])
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so_path)
     return so_path
@@ -57,7 +65,7 @@ def load(name: str):
 
 
 def traceback_lib():
-    lib = load('traceback')
+    lib = load('core')
     if lib is not None and not getattr(lib, '_configured', False):
         i8p = ctypes.POINTER(ctypes.c_int8)
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -67,5 +75,56 @@ def traceback_lib():
             u8p, i8p, i8p, i32p, i32p, u8p, u8p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
         lib.traceback_stats.restype = None
+        lib.align_host_batch.argtypes = [
+            i8p, i64p, i8p, i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, i64p]
+        lib.align_host_batch.restype = None
         lib._configured = True
     return lib
+
+
+def align_host_batch(windows, adapters, pairs, scoring, n_threads=0):
+    """Batched host alignment via the native engine.
+
+    windows/adapters: lists of np.int8 Dna5 code arrays; pairs (P, 2) int64.
+    Returns a (P, 9) int64 array (see align_host.cpp) or None when the
+    native library is unavailable or the scheme is linear (open == ext).
+    """
+    import numpy as np
+
+    match, mismatch, open_, ext = (int(x) for x in scoring)
+    if open_ == ext:
+        return None
+    lib = traceback_lib()
+    if lib is None:
+        return None
+
+    def concat(seqs):
+        off = np.zeros(len(seqs) + 1, dtype=np.int64)
+        for k, s in enumerate(seqs):
+            off[k + 1] = off[k] + len(s)
+        buf = np.empty(off[-1], dtype=np.int8)
+        for k, s in enumerate(seqs):
+            buf[off[k]:off[k + 1]] = s
+        return buf, off
+
+    rbuf, roff = concat(windows)
+    abuf, aoff = concat(adapters)
+    pairs = np.ascontiguousarray(pairs, dtype=np.int64)
+    P = len(pairs)
+    out = np.zeros((P, 9), dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    pr = np.ascontiguousarray(pairs[:, 0])
+    pa = np.ascontiguousarray(pairs[:, 1])
+    lib.align_host_batch(p(rbuf, ctypes.c_int8), p(roff, ctypes.c_int64),
+                         p(abuf, ctypes.c_int8), p(aoff, ctypes.c_int64),
+                         p(pr, ctypes.c_int64), p(pa, ctypes.c_int64),
+                         P, match, mismatch, open_, ext, n_threads,
+                         p(out, ctypes.c_int64))
+    return out

@@ -31,7 +31,7 @@ _LADDER = [16, 32, 64, 96, 150, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
 
 # Cap on B*L1 cells per launch (keeps the 27 int32 state arrays ~ <2 GB HBM).
 _CELL_BUDGET = int(os.environ.get('PORECHOP_TPU_CELL_BUDGET', 16_000_000))
-_MIN_LANES = 8
+_MIN_LANES = 32     # matches the Pallas kernel's lane-block width
 
 
 def _bucket_len(n: int) -> int:
@@ -39,6 +39,16 @@ def _bucket_len(n: int) -> int:
         if n <= rung:
             return rung
     return ((n + 65535) // 65536) * 65536
+
+
+_A_LADDER = [16, 24, 32, 48, 64, 96, 128, 192, 256]
+
+
+def _bucket_adapter_len(n: int) -> int:
+    for rung in _A_LADDER:
+        if n <= rung:
+            return rung
+    return ((n + 127) // 128) * 128
 
 
 def _bucket_lanes(n: int) -> int:
@@ -126,14 +136,22 @@ class AlignJobs:
             return self._package(out)
 
         use_jax = _use_jax() and self._jax_supports()
+        if not use_jax:
+            # Host path: the native C++ engine in one threaded batch call
+            # (falls back to the Python executable spec per job).
+            if self._run_native(todo, out):
+                return self._package(out)
+
+        # Bucket by (window rung, adapter rung): adapters pad to the rung,
+        # not the batch max, so compiled shapes are stable across runs and
+        # short barcodes don't pay for the longest chemistry adapter.
         buckets = {}
         for k in todo:
-            lb = _bucket_len(int(pw[k]))
-            buckets.setdefault(lb, []).append(k)
+            key = (_bucket_len(int(pw[k])), _bucket_adapter_len(int(pa[k])))
+            buckets.setdefault(key, []).append(k)
 
-        for lb, idxs in sorted(buckets.items()):
+        for (lb, amax), idxs in sorted(buckets.items()):
             idxs = np.asarray(idxs)
-            amax = int(pa[idxs].max())
             per_launch = max(_MIN_LANES, _CELL_BUDGET // (lb + 1))
             for lo in range(0, len(idxs), per_launch):
                 chunk = idxs[lo:lo + per_launch]
@@ -151,6 +169,24 @@ class AlignJobs:
     def _jax_supports(self):
         from . import engine_jax
         return engine_jax.supports(self.scoring)
+
+    def _run_native(self, todo, out) -> bool:
+        """Runs the given job indices through the native host engine
+        (porechop_tpu/native/align_host.cpp).  Returns False when the
+        library can't build or the scheme is linear."""
+        if os.environ.get('PORECHOP_TPU_NO_NATIVE'):
+            return False
+        from .. import native
+        pairs = self.pairs[todo]
+        res = native.align_host_batch(self.windows, self.adapters, pairs,
+                                      self.scoring)
+        if res is None:
+            return False
+        fields = ('read_start', 'read_end', 'adapter_start', 'adapter_end',
+                  'raw_score', 'matches', 'aligned_len', 'full_len')
+        for c, f in enumerate(fields):
+            out[f][todo] = res[:, c]
+        return True
 
     @staticmethod
     def _engine():

@@ -38,18 +38,45 @@ B_HEXT, B_VEXT, B_DIAG, B_MAXV = 1, 2, 4, 8
 
 
 def _cummax(f):
-    """Running max along axis 1 via log-shift passes.  Equivalent to
-    lax.associative_scan(jnp.maximum, ...) but generates a far smaller HLO
-    graph (the associative_scan recursion at non-power-of-two lengths
-    produces thousands of slice ops and minutes-long compiles at L ~ 10k)."""
-    L1 = f.shape[1]
-    jcol = jnp.arange(L1, dtype=jnp.int32)[None, :]
-    n_pass = max(1, (L1 - 1).bit_length())
-    for k in range(n_pass):
+    """Running max along axis 1, two-level: log-shift passes within chunks
+    of 32, then a prefix over the per-chunk maxima, then one combine pass.
+
+    Equivalent to lax.associative_scan(jnp.maximum, ...) but (a) generates a
+    compact HLO graph (the associative_scan recursion at non-power-of-two
+    lengths produces thousands of slices and minutes-long compiles at
+    L ~ 10k) and (b) touches the full-width data ~6x instead of log2(L)~14x
+    — each full-width pass is an HBM round trip on TPU, so pass count is
+    the dominant cost of the whole forward DP."""
+    B, L1 = f.shape
+    C = 32
+    if L1 <= C:
+        jcol = jnp.arange(L1, dtype=jnp.int32)[None, :]
+        n_pass = max(1, (L1 - 1).bit_length())
+        for k in range(n_pass):
+            sh = 1 << k
+            rolled = jnp.roll(f, sh, axis=1)
+            f = jnp.maximum(f, jnp.where(jcol < sh, NEG, rolled))
+        return f
+
+    pad = (-L1) % C
+    fp = jnp.pad(f, ((0, 0), (0, pad)), constant_values=NEG) if pad else f
+    nC = fp.shape[1] // C
+    W = fp.reshape(B, nC, C)
+    jc = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+    for k in range(C.bit_length() - 1):           # log2(C) = 5 passes
         sh = 1 << k
-        rolled = jnp.roll(f, sh, axis=1)
-        f = jnp.maximum(f, jnp.where(jcol < sh, NEG, rolled))
-    return f
+        rolled = jnp.roll(W, sh, axis=2)
+        W = jnp.maximum(W, jnp.where(jc < sh, NEG, rolled))
+    cmax = W[:, :, -1]                            # (B, nC) chunk maxima
+    jn = jnp.arange(nC, dtype=jnp.int32)[None, :]
+    P = cmax
+    for k in range(max(1, (nC - 1).bit_length())):
+        sh = 1 << k
+        rolled = jnp.roll(P, sh, axis=1)
+        P = jnp.maximum(P, jnp.where(jn < sh, NEG, rolled))
+    Pex = jnp.where(jn < 1, NEG, jnp.roll(P, 1, axis=1))   # exclusive
+    out = jnp.maximum(W, Pex[:, :, None]).reshape(B, nC * C)
+    return out[:, :L1]
 
 
 def _gather_one(arr, idx):
@@ -186,10 +213,14 @@ def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
       s_ra_rev        — read bases strictly before the LAST adapter column
     """
     A, B, L1 = bits.shape
-    flat = bits.reshape(A * B * L1)
-    lane = jnp.arange(B, dtype=jnp.int32)
+    # (B, A*L1): batch axis leading so a data-parallel sharding of the lane
+    # axis keeps every gather shard-local (no all-gather of the bit planes).
+    bits_t = bits.transpose(1, 0, 2).reshape(B, A * L1)
     i = cell_i.astype(jnp.int32)
     j = cell_j.astype(jnp.int32)
+
+    def lane_gather(mat, idx):
+        return jnp.take_along_axis(mat, idx[:, None], axis=1)[:, 0]
 
     # mode: 0 dispatch, 1 vertical run, 2 horizontal run.
     mode = jnp.where(vflag & (i > 0) & (j > 0), 1,
@@ -213,7 +244,7 @@ def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
         (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
          s_ar_rev, s_ra_rev) = state
         act = (i > 0) & (j > 0)
-        tv = flat[(i - 1) * (B * L1) + lane * L1 + j]
+        tv = lane_gather(bits_t, (i - 1) * L1 + j)
         hx = (tv & B_HEXT) != 0
         vx = (tv & B_VEXT) != 0
         dg = (tv & B_DIAG) != 0
@@ -234,10 +265,8 @@ def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
         # an adapter base for D/V moves.
         has_rd = go_diag | go_hori
         has_ad = go_diag | go_vert
-        rcode = jnp.take(reads.reshape(-1),
-                         lane * reads.shape[1] + jnp.maximum(j - 1, 0))
-        acode = jnp.take(adapters.reshape(-1),
-                         lane * adapters.shape[1] + jnp.maximum(i - 1, 0))
+        rcode = lane_gather(reads, jnp.maximum(j - 1, 0))
+        acode = lane_gather(adapters, jnp.maximum(i - 1, 0))
         is_match = go_diag & (rcode == acode)
 
         def upd(x, new, pred):
@@ -409,16 +438,62 @@ def supports(scoring) -> bool:
     return gap_open < gap_ext
 
 
+_use_pallas_cache = None
+
+
+def _use_pallas() -> bool:
+    """Pallas forward is opt-in (PORECHOP_TPU_PALLAS=1) and requires a real
+    TPU backend.  Opt-in rather than default because tunneled/remote-compile
+    TPU environments have been observed to hang on ANY pallas_call execution
+    (even a trivial copy kernel) while plain XLA runs fine; the jnp forward
+    is the safe default everywhere."""
+    global _use_pallas_cache
+    if _use_pallas_cache is None:
+        import os
+        if not os.environ.get('PORECHOP_TPU_PALLAS'):
+            _use_pallas_cache = False
+        else:
+            try:
+                _use_pallas_cache = jax.default_backend() == 'tpu'
+            except Exception:
+                _use_pallas_cache = False
+    return _use_pallas_cache
+
+
 def align_batch(reads_pad, read_lens, adapters_pad, adapter_lens,
                 scoring=(3, -6, -5, -2)):
-    """Same contract as engine_jax.align_batch."""
+    """Same contract as engine_jax.align_batch.  When more than one device
+    is visible the batch axis is sharded over a 1-D data mesh and the whole
+    forward+traceback runs SPMD (every lane is independent, so there is no
+    cross-device communication)."""
     assert supports(scoring)
     match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
     reads_d = jnp.asarray(reads_pad, jnp.int8)
     adapters_d = jnp.asarray(adapters_pad, jnp.int8)
+    rl_d = jnp.asarray(read_lens, jnp.int32)
+    al_d = jnp.asarray(adapter_lens, jnp.int32)
+
+    from ..parallel import mesh as pmesh
+    m = pmesh.auto_mesh()
+    if m is not None and reads_d.shape[0] % m.devices.size == 0:
+        reads_d, rl_d, adapters_d, al_d = pmesh.shard_batch_args(
+            m, reads_d, rl_d, adapters_d, al_d)
+
+    B, L = reads_d.shape
+    A = adapters_d.shape[1]
+    if m is None and _use_pallas():
+        from . import kernel_pallas
+        if kernel_pallas.supports_shape(B, L, A):
+            bits, best_sc, cell_i, cell_j, vflag, hflag = (
+                kernel_pallas.forward_pallas(reads_d, rl_d, adapters_d, al_d,
+                                             match, mismatch, gap_open,
+                                             gap_ext))
+            walk = _traceback(bits, reads_d, adapters_d,
+                              cell_i, cell_j, vflag, hflag)
+            return finish_v2(walk, best_sc, cell_i, cell_j,
+                             read_lens, adapter_lens)
+
     bits, best_sc, cell_i, cell_j, vflag, hflag = _forward(
-        reads_d, jnp.asarray(read_lens, jnp.int32),
-        adapters_d, jnp.asarray(adapter_lens, jnp.int32),
-        match, mismatch, gap_open, gap_ext)
+        reads_d, rl_d, adapters_d, al_d, match, mismatch, gap_open, gap_ext)
     walk = _traceback(bits, reads_d, adapters_d, cell_i, cell_j, vflag, hflag)
     return finish_v2(walk, best_sc, cell_i, cell_j, read_lens, adapter_lens)

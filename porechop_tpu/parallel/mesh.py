@@ -40,6 +40,34 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+_AUTO_MESH = None
+_AUTO_MESH_SET = False
+
+
+def auto_mesh():
+    """The mesh production launches shard over: all local devices when there
+    is more than one (or when PORECHOP_TPU_MESH=1 forces it for testing);
+    None for the common single-chip case.  Cached after first use."""
+    global _AUTO_MESH, _AUTO_MESH_SET
+    if _AUTO_MESH_SET:
+        return _AUTO_MESH
+    _AUTO_MESH_SET = True
+    if os.environ.get('PORECHOP_TPU_DISABLE_MESH'):
+        return None
+    devices = jax.devices()
+    if len(devices) > 1 or os.environ.get('PORECHOP_TPU_MESH'):
+        _AUTO_MESH = make_mesh(devices)
+    return _AUTO_MESH
+
+
+def shard_batch_args(mesh, *arrays):
+    """device_put each (B, ...) array with its batch axis sharded over the
+    mesh.  B must be divisible by the mesh size (the dispatcher's
+    power-of-two lane bucketing guarantees it for power-of-two meshes)."""
+    sb = batch_sharding(mesh)
+    return tuple(jax.device_put(a, sb) for a in arrays)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard axis 0 (the batch of read/adapter lanes) across the mesh."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -324,6 +324,17 @@ def test_format_explicit_overrides_extension():
     check_parity(['-o', 'out.fastq', '--format', 'fasta'], 'test_format.fastq')
 
 
+# ---- custom scoring schemes (exercise the host-engine fallbacks) ----
+
+def test_custom_scoring_schemes():
+    # Different affine scheme (still open < extend): fast engine path.
+    check_parity(['-o', 'out.fastq', '--scoring_scheme', '2,-4,-3,-1'], ONE)
+    # Linear gaps (open == extend): NeedlemanWunsch profile, host spec path.
+    check_parity(['-o', 'out.fastq', '--scoring_scheme', '3,-6,-2,-2'], ONE)
+    # open > extend: Gotoh without the scan trick's precondition.
+    check_parity(['-o', 'out.fastq', '--scoring_scheme', '3,-6,-1,-3'], ONE)
+
+
 # ---- error paths ----
 
 def test_error_cases():
