@@ -35,6 +35,21 @@ FASTQ = '/tmp/porechop_bench_%dx%d.fastq' % (N_READS, READ_LEN)
 REF_READS_PER_S_DEFAULT = 55.4   # 512 reads / 9.24 s, 2-vCPU build host
 
 
+def probe_tpu(timeout_s=90) -> bool:
+    """Checks (in a subprocess, so a wedged chip can't hang the bench) that
+    the accelerator actually executes work.  Tunneled TPU terminals have
+    been observed to wedge; on failure the bench falls back to the native
+    host engine so the driver always gets a number."""
+    code = ('import jax.numpy as jnp\n'
+            'print(float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0]))\n')
+    try:
+        r = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                           timeout=timeout_s)
+        return r.returncode == 0 and b'64.0' in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_ours(args):
     from porechop_tpu.cli import main
     with contextlib.redirect_stdout(io.StringIO()), \
@@ -79,6 +94,10 @@ def measure_reference():
 
 
 def main():
+    backend = 'tpu'
+    if not os.environ.get('PORECHOP_BENCH_NO_PROBE') and not probe_tpu():
+        os.environ['PORECHOP_TPU_FORCE_HOST'] = '1'
+        backend = 'host-native (tpu probe failed)'
     reads_per_s, wall = measure_ours()
     ref = os.environ.get('PORECHOP_BENCH_REF_READS_PER_S')
     if ref is not None:
@@ -90,8 +109,8 @@ def main():
     vs = (reads_per_s / ref) if ref else None
     print(json.dumps({
         'metric': 'reads/s end-to-end trimming %d x %dbp synthetic nanopore '
-                  'reads (detection + end trim + middle scan + output)'
-                  % (N_READS, READ_LEN),
+                  'reads (detection + end trim + middle scan + output; '
+                  'engine: %s)' % (N_READS, READ_LEN, backend),
         'value': round(reads_per_s, 3),
         'unit': 'reads/s',
         'vs_baseline': round(vs, 3) if vs is not None else None,
