@@ -94,10 +94,13 @@ def measure_reference():
 
 
 def main():
-    backend = 'tpu'
-    if not os.environ.get('PORECHOP_BENCH_NO_PROBE') and not probe_tpu():
+    if os.environ.get('PORECHOP_TPU_FORCE_HOST'):
+        backend = 'host-native (forced)'
+    elif not os.environ.get('PORECHOP_BENCH_NO_PROBE') and not probe_tpu():
         os.environ['PORECHOP_TPU_FORCE_HOST'] = '1'
         backend = 'host-native (tpu probe failed)'
+    else:
+        backend = 'tpu'
     reads_per_s, wall = measure_ours()
     ref = os.environ.get('PORECHOP_BENCH_REF_READS_PER_S')
     if ref is not None:

@@ -30,7 +30,7 @@ _libs = {}
 
 
 _SOURCES = {
-    'core': ['traceback.cpp', 'align_host.cpp'],
+    'core': ['traceback.cpp', 'align_host.cpp', 'align_simd.cpp'],
 }
 
 
@@ -44,9 +44,14 @@ def _build(name: str):
     if not os.path.isfile(so_path):
         os.makedirs(_CACHE, exist_ok=True)
         tmp = so_path + '.%d.tmp' % os.getpid()
-        cmd = (['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread']
-               + srcs + ['-o', tmp])
-        subprocess.run(cmd, check=True, capture_output=True)
+        cmd = (['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread',
+                '-march=native'] + srcs + ['-o', tmp])
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            # Some toolchains reject -march=native (e.g. exotic hosts).
+            cmd.remove('-march=native')
+            subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so_path)
     return so_path
 
@@ -75,11 +80,13 @@ def traceback_lib():
             u8p, i8p, i8p, i32p, i32p, u8p, u8p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
         lib.traceback_stats.restype = None
-        lib.align_host_batch.argtypes = [
-            i8p, i64p, i8p, i64p, i64p, i64p, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int64, i64p]
-        lib.align_host_batch.restype = None
+        for fn_name in ('align_host_batch', 'align_simd_batch'):
+            fn = getattr(lib, fn_name)
+            fn.argtypes = [
+                i8p, i64p, i8p, i64p, i64p, i64p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int64, i64p]
+            fn.restype = None
         lib._configured = True
     return lib
 
@@ -122,9 +129,11 @@ def align_host_batch(windows, adapters, pairs, scoring, n_threads=0):
 
     pr = np.ascontiguousarray(pairs[:, 0])
     pa = np.ascontiguousarray(pairs[:, 1])
-    lib.align_host_batch(p(rbuf, ctypes.c_int8), p(roff, ctypes.c_int64),
-                         p(abuf, ctypes.c_int8), p(aoff, ctypes.c_int64),
-                         p(pr, ctypes.c_int64), p(pa, ctypes.c_int64),
-                         P, match, mismatch, open_, ext, n_threads,
-                         p(out, ctypes.c_int64))
+    fn = (lib.align_host_batch if os.environ.get('PORECHOP_TPU_NO_SIMD')
+          else lib.align_simd_batch)
+    fn(p(rbuf, ctypes.c_int8), p(roff, ctypes.c_int64),
+       p(abuf, ctypes.c_int8), p(aoff, ctypes.c_int64),
+       p(pr, ctypes.c_int64), p(pa, ctypes.c_int64),
+       P, match, mismatch, open_, ext, n_threads,
+       p(out, ctypes.c_int64))
     return out

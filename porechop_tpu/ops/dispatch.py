@@ -178,10 +178,19 @@ class AlignJobs:
             return False
         from .. import native
         pairs = self.pairs[todo]
+        t0 = time.perf_counter() if _TIMING else 0.0
         res = native.align_host_batch(self.windows, self.adapters, pairs,
                                       self.scoring)
         if res is None:
             return False
+        if _TIMING:
+            dt = time.perf_counter() - t0
+            cells = int(sum(len(self.windows[self.pairs[k, 0]])
+                            * len(self.adapters[self.pairs[k, 1]])
+                            for k in todo))
+            print('[timing] native batch P=%d: %.3fs (%.2e cells/s)'
+                  % (len(todo), dt, cells / max(dt, 1e-9)),
+                  file=sys.stderr, flush=True)
         fields = ('read_start', 'read_end', 'adapter_start', 'adapter_end',
                   'raw_score', 'matches', 'aligned_len', 'full_len')
         for c, f in enumerate(fields):
