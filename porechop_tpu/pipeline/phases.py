@@ -108,14 +108,16 @@ def find_matching_adapter_sets(check_reads, verbosity, end_size,
         a.best_end_score = 0.0
 
     # One dense batch: every check read's two end windows against every
-    # adapter-set start/end sequence.
+    # adapter-set start/end sequence.  Pairs are built block-per-entry with
+    # vectorized fills (a Python loop per (read x set) costs more than the
+    # DP itself at --check_reads scale).
     windows = []
     for read in check_reads:
         windows.append(spec.encode(read.seq[:end_size]))
         windows.append(spec.encode(read.seq[-end_size:]))
     adapter_seqs = []
     adapter_idx = {}
-    jobs = []      # (window_idx, adapter_idx, set_idx, side)
+    entries = []   # (set_idx, side, adapter_idx)
     for si, aset in enumerate(search_adapters):
         for side, seq_pair in (('start', aset.start_sequence),
                                ('end', aset.end_sequence)):
@@ -125,23 +127,24 @@ def find_matching_adapter_sets(check_reads, verbosity, end_size,
             if seq not in adapter_idx:
                 adapter_idx[seq] = len(adapter_seqs)
                 adapter_seqs.append(spec.encode(seq))
-            ai = adapter_idx[seq]
-            for ri in range(read_count):
-                wi = 2 * ri if side == 'start' else 2 * ri + 1
-                jobs.append((wi, ai, si, side))
+            entries.append((si, side, adapter_idx[seq]))
 
-    if jobs:
-        pairs = np.array([(w, a) for w, a, _, _ in jobs], dtype=np.int64)
+    if entries and read_count:
+        R = read_count
+        base = 2 * np.arange(R, dtype=np.int64)
+        pairs = np.empty((len(entries) * R, 2), dtype=np.int64)
+        for e, (si, side, ai) in enumerate(entries):
+            pairs[e * R:(e + 1) * R, 0] = base + (0 if side == 'start' else 1)
+            pairs[e * R:(e + 1) * R, 1] = ai
         res = AlignJobs(windows, adapter_seqs, pairs, scoring_scheme_vals).run()
-        full = res['full_pct']
-        for k, (_, _, si, side) in enumerate(jobs):
+        full = res['full_pct'].reshape(len(entries), R)
+        best = full.max(axis=1)
+        for e, (si, side, ai) in enumerate(entries):
             aset = search_adapters[si]
             if side == 'start':
-                if full[k] > aset.best_start_score:
-                    aset.best_start_score = full[k]
+                aset.best_start_score = max(aset.best_start_score, best[e])
             else:
-                if full[k] > aset.best_end_score:
-                    aset.best_end_score = full[k]
+                aset.best_end_score = max(aset.best_end_score, best[e])
 
     if verbosity > 0:
         for r in range(1, read_count + 1):
