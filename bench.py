@@ -57,6 +57,35 @@ def run_ours(args):
         main(args)
 
 
+def calibrate_engine():
+    """Times a small slice of the workload on the accelerator engine vs the
+    native host engine and returns 'tpu' or 'host'.  On tunneled chips the
+    per-launch latency can exceed the host engine's whole runtime, so the
+    faster path is chosen empirically rather than assumed."""
+    from porechop_tpu.utils import synth
+    small = '/tmp/porechop_bench_calib_64.fastq'
+    synth.ensure_fastq(small, n_reads=64, read_len=READ_LEN, seed=9)
+    times = {}
+    with tempfile.TemporaryDirectory() as d:
+        for tag, env in (('tpu', None), ('host', '1')):
+            if env is None:
+                os.environ.pop('PORECHOP_TPU_FORCE_HOST', None)
+            else:
+                os.environ['PORECHOP_TPU_FORCE_HOST'] = env
+            args = ['-i', small, '-o', os.path.join(d, 'c_%s.fastq' % tag),
+                    '-v', '0']
+            run_ours(args)                  # warm-up (compiles)
+            t0 = time.perf_counter()
+            run_ours(args)
+            times[tag] = time.perf_counter() - t0
+    winner = min(times, key=times.get)
+    if winner == 'host':
+        os.environ['PORECHOP_TPU_FORCE_HOST'] = '1'
+    else:
+        os.environ.pop('PORECHOP_TPU_FORCE_HOST', None)
+    return winner, times
+
+
 def measure_ours():
     from porechop_tpu.utils import synth
     synth.ensure_fastq(FASTQ, n_reads=N_READS, read_len=READ_LEN, seed=0)
@@ -100,7 +129,10 @@ def main():
         os.environ['PORECHOP_TPU_FORCE_HOST'] = '1'
         backend = 'host-native (tpu probe failed)'
     else:
-        backend = 'tpu'
+        winner, times = calibrate_engine()
+        backend = ('tpu' if winner == 'tpu'
+                   else 'host-native (calibration: %.2fs vs tpu %.2fs)'
+                   % (times['host'], times['tpu']))
     reads_per_s, wall = measure_ours()
     ref = os.environ.get('PORECHOP_BENCH_REF_READS_PER_S')
     if ref is not None:

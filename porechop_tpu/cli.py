@@ -9,6 +9,7 @@ them runs on batched TPU launches instead of a host thread pool.  The
 
 import argparse
 import multiprocessing
+import os
 import sys
 
 from .pipeline.output import output_reads
@@ -27,6 +28,23 @@ from .version import __version__
 
 def main(argv=None):
     args = get_arguments(argv)
+
+    # Optional device profiling (beyond the reference's verbosity system):
+    # PORECHOP_TPU_PROFILE=<dir> wraps the run in a JAX profiler trace
+    # viewable with TensorBoard/XProf.
+    profile_dir = os.environ.get('PORECHOP_TPU_PROFILE')
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+    try:
+        _run_pipeline(args)
+    finally:
+        if profile_dir:
+            import jax
+            jax.profiler.stop_trace()
+
+
+def _run_pipeline(args):
     reads, check_reads, read_type = load_reads(args.input, args.verbosity,
                                                args.print_dest,
                                                args.check_reads)

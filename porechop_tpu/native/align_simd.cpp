@@ -1,17 +1,22 @@
-// SIMD host aligner: 8 jobs per core in lockstep.
+// SIMD host aligner: many jobs per core in lockstep.
 //
 // The scalar engine (align_host.cpp) runs one DP per thread; its inner
 // recurrence is a sequential dependency chain along the read, so SIMD must
-// go ACROSS jobs instead: this engine packs 8 similar-length jobs into the
-// lanes of an 8 x int32 vector (GCC vector extensions; compiles to AVX2
-// where available, SSE pairs otherwise) — the same lane-vectorization as
-// the TPU engine, at width 8.  Per-lane lengths are handled exactly like
-// the TPU kernel: rows past a lane's adapter freeze, and the scout reads
-// each lane's own final column / last row.
+// go ACROSS jobs instead: jobs of similar length are packed into the lanes
+// of a hardware vector (GCC vector extensions; AVX-512 where available) —
+// the same lane-vectorization as the TPU engine.  Per-lane lengths are
+// handled exactly like the TPU kernel: rows past a lane's adapter freeze,
+// and the scout reads each lane's own final column / last row.
+//
+// Two instantiations:
+//   * int16 lanes (32 per 64-byte vector) when the scheme's score range
+//     provably fits 16 bits (default Porechop scoring does: |scores| stay
+//     under |open| + A*|ext| + A*max|match|,|mismatch| — a few hundred);
+//   * int32 lanes (16 per vector) otherwise.
 //
 // Semantics: identical trace bits and scout election as
-// porechop_tpu/ops/engine_v2.py (see ops/spec.py for the SeqAn derivation);
-// statistics come from the shared walker in traceback.cpp.
+// porechop_tpu/ops/engine_v2.py (see ops/spec.py for the SeqAn
+// derivation); statistics come from the shared walker in traceback.cpp.
 
 #include <algorithm>
 #include <atomic>
@@ -21,63 +26,82 @@
 #include <thread>
 #include <vector>
 
-extern "C" void traceback_stats(const uint8_t*, const int8_t*, const int8_t*,
-                                const int32_t*, const int32_t*,
-                                const uint8_t*, const uint8_t*,
-                                const int32_t*, const int32_t*, int64_t,
-                                int64_t, int64_t, int64_t*);
+extern "C" void traceback_stats_ex(const uint8_t*, int64_t, int64_t,
+                                   int64_t, const int8_t*, const int8_t*,
+                                   const int32_t*, const int32_t*,
+                                   const uint8_t*, const uint8_t*,
+                                   const int32_t*, const int32_t*, int64_t,
+                                   int64_t, int64_t, int64_t*);
 
 namespace {
 
-typedef int32_t v8 __attribute__((vector_size(32)));
+#if defined(__AVX512BW__)
+constexpr int VBYTES = 64;
+#else
+constexpr int VBYTES = 32;
+#endif
 
-constexpr int G = 8;                  // lanes per group
-constexpr int32_t NEG = -(1 << 30);
+template <typename E>
+struct VecOf {
+  typedef E type __attribute__((vector_size(VBYTES)));
+  static constexpr int lanes = VBYTES / sizeof(E);
+};
 
-inline v8 vmax(v8 a, v8 b) { return (a > b) ? a : b; }  // ternary = blend
-inline v8 vsplat(int32_t x) { return v8{x, x, x, x, x, x, x, x}; }
-
+template <typename E>
 struct Group {
-  int64_t jobs[G];      // job indices (or -1 for padding lanes)
+  std::vector<int64_t> jobs;   // job index per lane (-1 = padding)
   int64_t lr_max, la_max;
 };
 
-// Scratch per worker thread, reused across groups.
+template <typename E>
 struct Scratch {
-  std::vector<v8> m, v, h;            // (L1max) vectors
-  std::vector<uint8_t> bits;          // (A, G, L1) walker layout
-  std::vector<int8_t> reads, adapters;  // (G, L) / (G, A) padded copies
+  typedef typename VecOf<E>::type V;
+  std::vector<V> m, v, h;
+  std::vector<uint8_t> bits;            // (A, L1, G) interleaved layout
+  std::vector<int8_t> reads, adapters;  // (G, L) / (G, A) padded (walker)
+  std::vector<int8_t> reads_il;         // (L, G) interleaved (DP loads)
 };
 
-void run_group(const Group& g, const int8_t* rbuf, const int64_t* roff,
+template <typename E>
+void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
                const int8_t* abuf, const int64_t* aoff,
                const int64_t* pair_read, const int64_t* pair_adapter,
-               int match, int mismatch, int open_, int ext, Scratch& s,
-               int64_t* out) {
+               int match, int mismatch, int open_, int ext,
+               E neg, Scratch<E>& s, int64_t* out) {
+  typedef typename VecOf<E>::type V;
+  constexpr int G = VecOf<E>::lanes;
   const int64_t L = g.lr_max, A = g.la_max, L1 = L + 1;
+
+  auto vsplat = [](E x) { V r; for (int l = 0; l < G; ++l) r[l] = x; return r; };
+
   s.m.assign(L1, vsplat(0));
-  s.v.assign(L1, vsplat(NEG));
-  s.h.assign(L1, vsplat(NEG));
+  s.v.assign(L1, vsplat(neg));
+  s.h.assign(L1, vsplat(neg));
   if ((int64_t)s.bits.size() < A * G * L1) s.bits.resize(A * G * L1);
   s.reads.assign(G * L, 4);
   s.adapters.assign(G * A, 4);
+  s.reads_il.assign(L * G, 4);
 
   int32_t lr[G], la[G];
   for (int l = 0; l < G; ++l) {
     const int64_t k = g.jobs[l];
-    if (k < 0) { lr[l] = 1; la[l] = 1; continue; }   // pad lane: 1x1 dummy
+    if (k < 0) { lr[l] = 1; la[l] = 1; continue; }
     const int64_t ri = pair_read[k], ai = pair_adapter[k];
     lr[l] = (int32_t)(roff[ri + 1] - roff[ri]);
     la[l] = (int32_t)(aoff[ai + 1] - aoff[ai]);
     std::memcpy(&s.reads[l * L], rbuf + roff[ri], lr[l]);
     std::memcpy(&s.adapters[l * A], abuf + aoff[ai], la[l]);
   }
+  for (int l = 0; l < G; ++l)
+    for (int64_t j = 0; j < L; ++j)
+      s.reads_il[j * G + l] = s.reads[l * L + j];
 
-  v8* m = s.m.data();
-  v8* v = s.v.data();
-  v8* h = s.h.data();
-  const v8 vmatch = vsplat(match), vmismatch = vsplat(mismatch);
-  const v8 vopen = vsplat(open_), vext = vsplat(ext);
+  V* m = s.m.data();
+  V* v = s.v.data();
+  V* h = s.h.data();
+  const V vmatch = vsplat((E)match), vmismatch = vsplat((E)mismatch);
+  const V vopen = vsplat((E)open_), vext = vsplat((E)ext);
+  const V one = vsplat(1), two = vsplat(2), four = vsplat(4), eight = vsplat(8);
 
   int32_t col_best[G], col_i[G];
   uint8_t col_vf[G], col_hf[G];
@@ -85,46 +109,47 @@ void run_group(const Group& g, const int8_t* rbuf, const int64_t* roff,
     col_best[l] = 0; col_i[l] = 0; col_vf[l] = 0; col_hf[l] = 0;
   }
 
+  typedef uint8_t VU8 __attribute__((vector_size(VecOf<E>::lanes)));
   for (int64_t i = 1; i <= A; ++i) {
-    uint8_t* brow = s.bits.data() + (i - 1) * G * L1;
-    v8 ac;
-    for (int l = 0; l < G; ++l) ac[l] = s.adapters[l * A + (i - 1)];
-    // Per-lane freeze mask: lanes whose adapter already ended keep state.
-    v8 active;
-    for (int l = 0; l < G; ++l) active[l] = (i <= la[l]) ? -1 : 0;
+    uint8_t* brow = s.bits.data() + (i - 1) * G * L1;   // plane (L1, G)
+    V ac, active;
+    for (int l = 0; l < G; ++l) {
+      ac[l] = (E)s.adapters[l * A + (i - 1)];
+      active[l] = (E)((i <= la[l]) ? -1 : 0);
+    }
+    V diag_prev = m[0];
+    V h_prev = vsplat(neg);
+    std::memset(brow, 0, G);                            // column 0
 
-    v8 diag_prev = m[0];
-    // boundary col 0 (M stays 0, bits row col 0 = 0)
-    v8 h_prev = vsplat(NEG);
-    for (int l = 0; l < G; ++l) brow[l * L1] = 0;
-
+    typedef int8_t VI8 __attribute__((vector_size(VecOf<E>::lanes)));
     for (int64_t j = 1; j <= L; ++j) {
-      v8 rc;
-      for (int l = 0; l < G; ++l) rc[l] = s.reads[l * L + (j - 1)];
-      const v8 sub = (rc == ac) ? vmatch : vmismatch;
-      const v8 v_ext = v[j] + vext;
-      const v8 v_open = m[j] + vopen;
-      const v8 vbit = (v_ext >= v_open);
-      const v8 nv = vbit ? v_ext : v_open;
-      const v8 h_ext = h_prev + vext;
-      const v8 h_open = m[j - 1] + vopen;     // M(i, j-1), already updated
-      const v8 hbit = (h_ext >= h_open);
-      const v8 nh = hbit ? h_ext : h_open;
-      const v8 d = diag_prev + sub;
-      const v8 mvbit = (nv >= nh);
-      const v8 gap = mvbit ? nv : nh;
-      const v8 dbit = (d >= gap);
-      const v8 nm = dbit ? d : gap;
-      const v8 bits = (hbit & vsplat(1)) | (vbit & vsplat(2)) |
-                      (dbit & vsplat(4)) | (mvbit & vsplat(8));
-      for (int l = 0; l < G; ++l) brow[l * L1 + j] = (uint8_t)bits[l];
+      VI8 rc8;
+      std::memcpy(&rc8, &s.reads_il[(j - 1) * G], sizeof(rc8));
+      const V rc = __builtin_convertvector(rc8, V);
+      const V sub = (rc == ac) ? vmatch : vmismatch;
+      const V v_ext = v[j] + vext;
+      const V v_open = m[j] + vopen;
+      const V vbit = (v_ext >= v_open);
+      const V nv = vbit ? v_ext : v_open;
+      const V h_ext = h_prev + vext;
+      const V h_open = m[j - 1] + vopen;     // M(i, j-1), already updated
+      const V hbit = (h_ext >= h_open);
+      const V nh = hbit ? h_ext : h_open;
+      const V d = diag_prev + sub;
+      const V mvbit = (nv >= nh);
+      const V gap = mvbit ? nv : nh;
+      const V dbit = (d >= gap);
+      const V nm = dbit ? d : gap;
+      const V bits = (hbit & one) | (vbit & two) | (dbit & four) |
+                     (mvbit & eight);
+      const VU8 b8 = __builtin_convertvector(bits, VU8);
+      std::memcpy(brow + j * G, &b8, sizeof(b8));       // one vector store
       diag_prev = m[j];
       m[j] = active ? nm : m[j];
       v[j] = active ? nv : v[j];
       h[j] = active ? nh : h[j];
       h_prev = nh;
     }
-    // Final-column scout candidate at each lane's own j = lr[l].
     for (int l = 0; l < G; ++l) {
       if (i > la[l]) continue;
       const int32_t mm = m[lr[l]][l];
@@ -136,7 +161,6 @@ void run_group(const Group& g, const int8_t* rbuf, const int64_t* roff,
     }
   }
 
-  // Last-row scout per lane (first max over j in [0, lr)).
   int32_t ci[G], cj[G], best[G];
   uint8_t vf[G], hf[G];
   for (int l = 0; l < G; ++l) {
@@ -155,16 +179,72 @@ void run_group(const Group& g, const int8_t* rbuf, const int64_t* roff,
     }
   }
 
-  int64_t stats[G * 8];
-  traceback_stats(s.bits.data(), s.reads.data(), s.adapters.data(), ci, cj,
-                  vf, hf, lr, la, G, L, A, stats);
+  std::vector<int64_t> stats(G * 8);
+  traceback_stats_ex(s.bits.data(), L1 * G, 1, G, s.reads.data(),
+                     s.adapters.data(), ci, cj, vf, hf, lr, la, G, L, A,
+                     stats.data());
   for (int l = 0; l < G; ++l) {
     const int64_t k = g.jobs[l];
     if (k < 0) continue;
     int64_t* o = out + k * 9;
-    const int64_t* st = stats + l * 8;
+    const int64_t* st = stats.data() + l * 8;
     o[0] = st[0]; o[1] = st[1]; o[2] = st[2]; o[3] = st[3];
     o[4] = best[l]; o[5] = st[4]; o[6] = st[5]; o[7] = st[6]; o[8] = 0;
+  }
+}
+
+template <typename E>
+void run_all(const int8_t* reads, const int64_t* read_off,
+             const int8_t* adapters, const int64_t* adapter_off,
+             const int64_t* pair_read, const int64_t* pair_adapter,
+             int64_t P, int match, int mismatch, int open_, int ext,
+             E neg, int64_t n_threads, int64_t* out) {
+  constexpr int G = VecOf<E>::lanes;
+  std::vector<int64_t> order(P);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    const int64_t la_ = read_off[pair_read[a] + 1] - read_off[pair_read[a]];
+    const int64_t lb_ = read_off[pair_read[b] + 1] - read_off[pair_read[b]];
+    return la_ < lb_;
+  });
+  const int64_t n_groups = (P + G - 1) / G;
+  std::vector<Group<E>> groups(n_groups);
+  for (int64_t gi = 0; gi < n_groups; ++gi) {
+    Group<E>& g = groups[gi];
+    g.jobs.assign(G, -1);
+    g.lr_max = 1;
+    g.la_max = 1;
+    for (int l = 0; l < G; ++l) {
+      const int64_t idx = gi * G + l;
+      if (idx >= P) break;
+      const int64_t k = order[idx];
+      g.jobs[l] = k;
+      g.lr_max = std::max<int64_t>(
+          g.lr_max, read_off[pair_read[k] + 1] - read_off[pair_read[k]]);
+      g.la_max = std::max<int64_t>(
+          g.la_max,
+          adapter_off[pair_adapter[k] + 1] - adapter_off[pair_adapter[k]]);
+    }
+  }
+
+  n_threads = std::max<int64_t>(1, n_threads);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    Scratch<E> s;
+    for (;;) {
+      const int64_t gi = next.fetch_add(1);
+      if (gi >= n_groups) break;
+      run_group<E>(groups[gi], reads, read_off, adapters, adapter_off,
+                   pair_read, pair_adapter, match, mismatch, open_, ext, neg,
+                   s, out);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
   }
 }
 
@@ -178,56 +258,29 @@ void align_simd_batch(const int8_t* reads, const int64_t* read_off,
                       const int64_t* pair_read, const int64_t* pair_adapter,
                       int64_t P, int match, int mismatch, int open_, int ext,
                       int64_t n_threads, int64_t* out) {
-  // Sort jobs by read length so groups pad minimally.
-  std::vector<int64_t> order(P);
-  std::iota(order.begin(), order.end(), 0);
-  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    const int64_t la_ = read_off[pair_read[a] + 1] - read_off[pair_read[a]];
-    const int64_t lb_ = read_off[pair_read[b] + 1] - read_off[pair_read[b]];
-    return la_ < lb_;
-  });
-  const int64_t n_groups = (P + G - 1) / G;
-  std::vector<Group> groups(n_groups);
-  for (int64_t gi = 0; gi < n_groups; ++gi) {
-    Group& g = groups[gi];
-    g.lr_max = 1; g.la_max = 1;
-    for (int l = 0; l < G; ++l) {
-      const int64_t idx = gi * G + l;
-      if (idx < P) {
-        const int64_t k = order[idx];
-        g.jobs[l] = k;
-        g.lr_max = std::max<int64_t>(
-            g.lr_max, read_off[pair_read[k] + 1] - read_off[pair_read[k]]);
-        g.la_max = std::max<int64_t>(
-            g.la_max,
-            adapter_off[pair_adapter[k] + 1] - adapter_off[pair_adapter[k]]);
-      } else {
-        g.jobs[l] = -1;
-      }
-    }
-  }
-
-  n_threads = std::max<int64_t>(1, n_threads);
-  std::atomic<int64_t> next(0);
-  auto worker = [&]() {
-    Scratch s;
-    for (;;) {
-      const int64_t gi = next.fetch_add(1);
-      if (gi >= n_groups) break;
-      run_group(groups[gi], reads, read_off, adapters, adapter_off,
-                pair_read, pair_adapter, match, mismatch, open_, ext, s, out);
-    }
-  };
-  if (n_threads == 1) {
-    worker();
+  // int16 lanes are safe when every reachable score fits comfortably:
+  // |M| <= A*max(|match|,|mismatch|) for the path part and the boundary
+  // chains stay above NEG16 + accumulated penalties.
+  int64_t max_la = 0;
+  for (int64_t k = 0; k < P; ++k)
+    max_la = std::max(max_la,
+                      adapter_off[pair_adapter[k] + 1]
+                      - adapter_off[pair_adapter[k]]);
+  const int64_t mag = std::max({std::abs((int64_t)match),
+                                std::abs((int64_t)mismatch),
+                                std::abs((int64_t)open_),
+                                std::abs((int64_t)ext)});
+  const int64_t bound = (max_la + 2) * mag + std::abs((int64_t)open_);
+  if (bound < 8000) {
+    run_all<int16_t>(reads, read_off, adapters, adapter_off, pair_read,
+                     pair_adapter, P, match, mismatch, open_, ext,
+                     (int16_t)-8192, n_threads, out);
   } else {
-    std::vector<std::thread> pool;
-    for (int64_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
+    run_all<int32_t>(reads, read_off, adapters, adapter_off, pair_read,
+                     pair_adapter, P, match, mismatch, open_, ext,
+                     -(1 << 30), n_threads, out);
   }
 
-  // Degenerate jobs (empty read or adapter) are the caller's concern, but
-  // guard anyway: mark them failed.
   for (int64_t k = 0; k < P; ++k) {
     const int64_t lr = read_off[pair_read[k] + 1] - read_off[pair_read[k]];
     const int64_t la = adapter_off[pair_adapter[k] + 1]

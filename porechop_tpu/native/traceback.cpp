@@ -33,7 +33,12 @@ inline bool max_v(uint8_t b) { return b & 8; }
 
 extern "C" {
 
-// bits:      (A, B, L1) row-major  — bits for DP row i live at plane i-1.
+// Generalized walker with explicit bit-plane strides, so callers can use
+// either a lane-major (A, B, L1) layout (stride_i = B*L1, stride_b = L1,
+// stride_j = 1) or the SIMD engine's interleaved (A, L1, B) layout
+// (stride_i = L1*B, stride_b = 1, stride_j = B).
+//
+// bits:      trace bytes; DP row i lives at plane i-1.
 // reads:     (B, L) int8 Dna5 codes (0..4)
 // adapters:  (B, A) int8
 // cell_i/j:  (B,) int32 traceback start cell (the scout's max cell)
@@ -41,13 +46,14 @@ extern "C" {
 // read_lens/adapter_lens: (B,) int32
 // out:       (B, 8) int64  — read_start, read_end, adapter_start,
 //            adapter_end, matches, aligned_len, full_len, path_cols
-void traceback_stats(const uint8_t* bits, const int8_t* reads,
-                     const int8_t* adapters, const int32_t* cell_i,
-                     const int32_t* cell_j, const uint8_t* vflag,
-                     const uint8_t* hflag, const int32_t* read_lens,
-                     const int32_t* adapter_lens, int64_t B, int64_t L,
-                     int64_t A, int64_t* out) {
-  const int64_t L1 = L + 1;
+void traceback_stats_ex(const uint8_t* bits, int64_t stride_i,
+                        int64_t stride_b, int64_t stride_j,
+                        const int8_t* reads, const int8_t* adapters,
+                        const int32_t* cell_i, const int32_t* cell_j,
+                        const uint8_t* vflag, const uint8_t* hflag,
+                        const int32_t* read_lens,
+                        const int32_t* adapter_lens, int64_t B, int64_t L,
+                        int64_t A, int64_t* out) {
   int8_t* moves = static_cast<int8_t*>(std::malloc((L + A + 2)));
   for (int64_t b = 0; b < B; ++b) {
     const int64_t lr = read_lens[b], la = adapter_lens[b];
@@ -56,7 +62,7 @@ void traceback_stats(const uint8_t* bits, const int8_t* reads,
     int64_t n_moves = 0;
 
     auto bit_at = [&](int64_t ii, int64_t jj) -> uint8_t {
-      return bits[(ii - 1) * B * L1 + b * L1 + jj];
+      return bits[(ii - 1) * stride_i + b * stride_b + jj * stride_j];
     };
 
     // Mode flags: 0 = interior dispatch, 1 = forced vertical, 2 = forced
@@ -167,6 +173,18 @@ void traceback_stats(const uint8_t* bits, const int8_t* reads,
     o[7] = cols;
   }
   std::free(moves);
+}
+
+// Back-compat entry: lane-major (A, B, L1) layout.
+void traceback_stats(const uint8_t* bits, const int8_t* reads,
+                     const int8_t* adapters, const int32_t* cell_i,
+                     const int32_t* cell_j, const uint8_t* vflag,
+                     const uint8_t* hflag, const int32_t* read_lens,
+                     const int32_t* adapter_lens, int64_t B, int64_t L,
+                     int64_t A, int64_t* out) {
+  const int64_t L1 = L + 1;
+  traceback_stats_ex(bits, B * L1, L1, 1, reads, adapters, cell_i, cell_j,
+                     vflag, hflag, read_lens, adapter_lens, B, L, A, out);
 }
 
 }  // extern "C"
