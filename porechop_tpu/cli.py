@@ -45,6 +45,11 @@ def main(argv=None):
 
 
 def _run_pipeline(args):
+    from .pipeline import stream as stream_mod
+    chunk_size = stream_mod.stream_chunk_size(args)
+    if chunk_size:
+        return _run_streaming_pipeline(args, chunk_size, stream_mod)
+
     reads, check_reads, read_type = load_reads(args.input, args.verbosity,
                                                args.print_dest,
                                                args.check_reads)
@@ -103,6 +108,39 @@ def _run_pipeline(args):
                  args.discard_middle, args.min_split_read_size,
                  args.print_dest, args.barcode_dir, args.input,
                  args.untrimmed, args.threads, args.discard_unassigned)
+
+
+def _run_streaming_pipeline(args, chunk_size, stream_mod):
+    """Bounded-memory path (PORECHOP_TPU_STREAM=<chunk>, -v 0 only):
+    detection on the --check_reads head, then chunked phases 2+3 + output.
+    Byte-identical to the default path at verbosity 0."""
+    from .pipeline.model import Read
+    from .utils.fastx import get_sequence_file_type
+
+    read_type = get_sequence_file_type(args.input)
+    check_reads = []
+    for name, seq, quals in stream_mod._iter_records(args.input):
+        check_reads.append(Read(name, seq, quals or ''))
+        if len(check_reads) >= args.check_reads:
+            break
+
+    matching_sets = find_matching_adapter_sets(check_reads, args.verbosity,
+                                               args.end_size,
+                                               args.scoring_scheme_vals,
+                                               args.print_dest,
+                                               args.adapter_threshold,
+                                               args.threads)
+    matching_sets = fix_up_1d2_sets(matching_sets)
+    if args.barcode_dir:
+        forward_or_reverse_barcodes = choose_barcoding_kit(matching_sets,
+                                                           args.verbosity,
+                                                           args.print_dest)
+    else:
+        forward_or_reverse_barcodes = None
+    matching_sets = add_full_barcode_adapter_sets(matching_sets)
+    stream_mod.run_streaming(args, matching_sets,
+                             forward_or_reverse_barcodes, read_type,
+                             chunk_size)
 
 
 def get_arguments(argv=None):

@@ -1,0 +1,84 @@
+"""Streaming runner: chunked output must be byte-identical to the default
+whole-file path at verbosity 0, for -o files, stdout, and barcode bins."""
+
+import contextlib
+import io
+import os
+import tempfile
+
+import pytest
+
+from porechop_tpu.cli import main
+
+FIX = '/root/reference/test'
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(FIX),
+                                reason='reference fixtures unavailable')
+
+
+def _run(args, cwd, stream_chunk=None):
+    old_cwd = os.getcwd()
+    os.chdir(cwd)
+    if stream_chunk is not None:
+        os.environ['PORECHOP_TPU_STREAM'] = str(stream_chunk)
+    else:
+        os.environ.pop('PORECHOP_TPU_STREAM', None)
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf), \
+                contextlib.redirect_stderr(io.StringIO()):
+            main(args)
+    finally:
+        os.environ.pop('PORECHOP_TPU_STREAM', None)
+        os.chdir(old_cwd)
+    return buf.getvalue()
+
+
+def _snapshot(cwd):
+    out = {}
+    for root, _, files in os.walk(cwd):
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, 'rb') as fh:
+                out[os.path.relpath(p, cwd)] = fh.read()
+    return out
+
+
+@pytest.mark.parametrize('chunk', [2, 5, 1000])
+def test_stream_matches_default_output_file(chunk):
+    fixture = os.path.join(FIX, 'test_one_adapter_set.fastq')
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        _run(['-i', fixture, '-o', 'out.fastq', '-v', '0'], d1)
+        _run(['-i', fixture, '-o', 'out.fastq', '-v', '0'], d2, chunk)
+        assert _snapshot(d1) == _snapshot(d2)
+
+
+def test_stream_matches_default_stdout():
+    fixture = os.path.join(FIX, 'test_two_adapter_sets.fastq')
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        s1 = _run(['-i', fixture, '-v', '0'], d1)
+        s2 = _run(['-i', fixture, '-v', '0'], d2, 3)
+        assert s1 == s2
+
+
+def test_stream_matches_default_barcode_bins():
+    fixture = os.path.join(FIX, 'test_barcodes.fastq')
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        _run(['-i', fixture, '-b', 'bins', '-v', '0'], d1)
+        _run(['-i', fixture, '-b', 'bins', '-v', '0'], d2, 4)
+        assert _snapshot(d1) == _snapshot(d2)
+
+
+def test_stream_ignored_at_higher_verbosity():
+    """Progress/summary text assumes whole-file totals; streaming must not
+    activate when any of it would print."""
+    fixture = os.path.join(FIX, 'test_one_adapter_set.fastq')
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        s1 = _run(['-i', fixture, '-o', 'out.fastq', '-v', '1'], d1)
+        s2 = _run(['-i', fixture, '-o', 'out.fastq', '-v', '1'], d2, 3)
+        assert s1.replace(d1, '') == s2.replace(d2, '')   # paths differ
+        assert _snapshot(d1) == _snapshot(d2)
