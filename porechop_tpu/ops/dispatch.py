@@ -29,9 +29,19 @@ _LADDER = [16, 32, 64, 96, 150, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
            4096, 6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536,
            98304, 131072, 196608, 262144, 393216, 524288, 786432, 1048576]
 
-# Cap on B*L1 cells per launch (keeps the 27 int32 state arrays ~ <2 GB HBM).
-_CELL_BUDGET = int(os.environ.get('PORECHOP_TPU_CELL_BUDGET', 16_000_000))
+# Cap on B*L1*A DP cells per launch: the dominant HBM object is the trace
+# bitmap (1 byte/cell, ~2x with the traceback's transpose copy), so 2.56e8
+# cells keeps a launch under ~0.75 GB while staying large enough that the
+# ~30 ms tunnel round-trip per launch is amortized (~45 ms of kernel time at
+# the measured 5.7e9 cells/s Pallas rate).
+_CELL_BUDGET = int(os.environ.get('PORECHOP_TPU_CELL_BUDGET', 512_000_000))
 _MIN_LANES = 32     # matches the Pallas kernel's lane-block width
+
+# Launches smaller than this many (padded) DP cells run on the native host
+# engine instead of the device: at the measured rates (host SIMD ~1.6e9
+# cells/s vs device ~5.7e9 cells/s + ~30 ms round-trip) the break-even is
+# ~6e7 cells.  Set to 0 to force everything onto the device.
+_HYBRID_CELLS = int(os.environ.get('PORECHOP_TPU_HYBRID_CELLS', 60_000_000))
 
 
 def _bucket_len(n: int) -> int:
@@ -150,21 +160,123 @@ class AlignJobs:
             key = (_bucket_len(int(pw[k])), _bucket_adapter_len(int(pa[k])))
             buckets.setdefault(key, []).append(k)
 
+        small = []        # chunks routed to the native host engine
+        device_work = []  # (lb, amax, chunk) launches
+        route_small = use_jax and self._native_available()
         for (lb, amax), idxs in sorted(buckets.items()):
             idxs = np.asarray(idxs)
-            per_launch = max(_MIN_LANES, _CELL_BUDGET // (lb + 1))
+            # Power-of-two launch width: _bucket_lanes pads each chunk up to
+            # a power of two anyway, so a non-pow2 chunk width would pay for
+            # padded lanes AND an extra launch.
+            per_launch = max(_MIN_LANES,
+                             _CELL_BUDGET // ((lb + 1) * amax))
+            per_launch = 1 << max(_MIN_LANES.bit_length() - 1,
+                                  per_launch.bit_length() - 1)
             for lo in range(0, len(idxs), per_launch):
                 chunk = idxs[lo:lo + per_launch]
-                t0 = time.perf_counter() if _TIMING else 0.0
+                cells = _bucket_lanes(len(chunk)) * (lb + 1) * amax
+                if route_small and cells < _HYBRID_CELLS:
+                    small.append(chunk)
+                else:
+                    device_work.append((lb, amax, chunk))
+
+        if small:
+            small = np.concatenate(small)
+            if not self._run_native(small, out):
+                # Native engine raced away (e.g. compiler cache wiped):
+                # push the chunks back onto the device queue.
+                for (lb, amax), idxs in sorted(buckets.items()):
+                    sel = np.asarray(idxs)[np.isin(np.asarray(idxs), small)]
+                    if sel.size:
+                        device_work.append((lb, amax, sel))
+
+        # Per-rung job index lists for the device queue, so uploads dedup
+        # across buckets sharing a rung (a window rung's table is shared by
+        # every adapter rung and vice versa).
+        rung_w = {}
+        rung_a = {}
+        for lb, amax, chunk in device_work:
+            rung_w.setdefault(lb, []).append(chunk)
+            rung_a.setdefault(amax, []).append(chunk)
+
+        tables = {'w': {}, 'a': {}}   # device-resident dedup tables
+        for lb, amax, chunk in device_work:
+            t0 = time.perf_counter() if _TIMING else 0.0
+            if use_jax and self._gather_capable():
+                self._run_chunk_gather(chunk, lb, amax, out, tables,
+                                       rung_w, rung_a)
+            else:
                 self._run_chunk(chunk, lb, amax, out, use_jax)
-                if _TIMING:
-                    dt = time.perf_counter() - t0
-                    cells = len(chunk) * (lb + 1) * amax
-                    print('[timing] launch B=%d L=%d A=%d: %.3fs '
-                          '(%.2e cells/s)' % (len(chunk), lb, amax, dt,
-                                              cells / max(dt, 1e-9)),
-                          file=sys.stderr, flush=True)
+            if _TIMING:
+                dt = time.perf_counter() - t0
+                cells = _bucket_lanes(len(chunk)) * (lb + 1) * amax
+                print('[timing] launch B=%d L=%d A=%d: %.3fs '
+                      '(%.2e cells/s)' % (len(chunk), lb, amax, dt,
+                                          cells / max(dt, 1e-9)),
+                      file=sys.stderr, flush=True)
         return self._package(out)
+
+    @staticmethod
+    def _gather_capable() -> bool:
+        return os.environ.get('PORECHOP_TPU_ENGINE', 'v2') != 'v1'
+
+    def _run_chunk_gather(self, chunk, lb, amax, out, tables, rung_w, rung_a):
+        """Launch a chunk through engine_v2.align_batch_gather: the dedup'd
+        window/adapter tables upload once per rung (kept in `tables` as
+        device arrays — the window table for rung lb is shared by every
+        adapter rung, so the middle phase's reads ship once, not once per
+        adapter length) and each lane is just a pair of int32 row indices.
+        Window codes cross the tunnel packed two-per-byte (~33 MB/s links
+        make transfer bytes the scarce resource) and unpack on device."""
+        import jax.numpy as jnp
+
+        from . import engine_v2
+        if lb not in tables['w']:
+            # All windows of this rung (across adapter rungs): one upload.
+            uw = np.unique(self.pairs[np.concatenate(rung_w[lb]), 0])
+            wmat = np.full((len(uw) + 1, lb), 4, dtype=np.int8)
+            wlen = np.ones(len(uw) + 1, dtype=np.int32)
+            for r, k in enumerate(uw):
+                w = self.windows[k]
+                wmat[r, :len(w)] = w
+                wlen[r] = len(w)
+            wmap = np.full(len(self.windows), len(uw), dtype=np.int32)
+            wmap[uw] = np.arange(len(uw), dtype=np.int32)
+            tables['w'][lb] = (engine_v2.pack_nibbles(wmat),
+                               jnp.asarray(wlen), wmap, wmat.shape[1])
+        if amax not in tables['a']:
+            ua = np.unique(self.pairs[np.concatenate(rung_a[amax]), 1])
+            amat = np.full((len(ua) + 1, amax), 4, dtype=np.int8)
+            alen = np.ones(len(ua) + 1, dtype=np.int32)
+            for r, k in enumerate(ua):
+                a = self.adapters[k]
+                amat[r, :len(a)] = a
+                alen[r] = len(a)
+            amap = np.full(len(self.adapters), len(ua), dtype=np.int32)
+            amap[ua] = np.arange(len(ua), dtype=np.int32)
+            tables['a'][amax] = (jnp.asarray(amat), jnp.asarray(alen), amap)
+        wpk_d, wlen_d, wmap, wcols = tables['w'][lb]
+        amat_d, alen_d, amap = tables['a'][amax]
+        B = len(chunk)
+        Bp = _bucket_lanes(B)
+        w_idx = np.full(Bp, wpk_d.shape[0] - 1, dtype=np.int32)
+        a_idx = np.full(Bp, amat_d.shape[0] - 1, dtype=np.int32)
+        w_idx[:B] = wmap[self.pairs[chunk, 0]]
+        a_idx[:B] = amap[self.pairs[chunk, 1]]
+        res = engine_v2.align_batch_gather(wpk_d, wlen_d, amat_d, alen_d,
+                                           w_idx, a_idx, self.scoring,
+                                           wcols=wcols)
+        for f in out:
+            out[f][chunk] = res[f][:B]
+
+    def _native_available(self) -> bool:
+        if os.environ.get('PORECHOP_TPU_NO_NATIVE'):
+            return False
+        _, _, gap_open, gap_ext = self.scoring
+        if gap_open == gap_ext:
+            return False
+        from .. import native
+        return native.traceback_lib() is not None
 
     def _jax_supports(self):
         from . import engine_jax
@@ -212,17 +324,34 @@ class AlignJobs:
         if use_jax:
             engine = self._engine()
             Bp = _bucket_lanes(B)
+            # Pack each distinct window/adapter once, then fan out to lanes
+            # with one fancy-index (many pairs share a window: e.g. the
+            # detection phase aligns every adapter against the same sample
+            # windows, so this turns a P-long Python loop into a W-long one).
+            wi = self.pairs[chunk, 0]
+            ai = self.pairs[chunk, 1]
+            uw, winv = np.unique(wi, return_inverse=True)
+            ua, ainv = np.unique(ai, return_inverse=True)
+            wmat = np.full((len(uw), lb), 4, dtype=np.int8)
+            wlen = np.empty(len(uw), dtype=np.int32)
+            for r, k in enumerate(uw):
+                w = self.windows[k]
+                wmat[r, :len(w)] = w
+                wlen[r] = len(w)
+            amat = np.full((len(ua), amax), 4, dtype=np.int8)
+            alen = np.empty(len(ua), dtype=np.int32)
+            for r, k in enumerate(ua):
+                a = self.adapters[k]
+                amat[r, :len(a)] = a
+                alen[r] = len(a)
             reads = np.full((Bp, lb), 4, dtype=np.int8)
             adps = np.full((Bp, amax), 4, dtype=np.int8)
             rl = np.ones(Bp, dtype=np.int32)    # pad lanes: 1-bp dummy jobs
             al = np.ones(Bp, dtype=np.int32)
-            for r, k in enumerate(chunk):
-                w = self.windows[self.pairs[k, 0]]
-                a = self.adapters[self.pairs[k, 1]]
-                reads[r, :len(w)] = w
-                adps[r, :len(a)] = a
-                rl[r] = len(w)
-                al[r] = len(a)
+            reads[:B] = wmat[winv]
+            adps[:B] = amat[ainv]
+            rl[:B] = wlen[winv]
+            al[:B] = alen[ainv]
             res = engine.align_batch(reads, rl, adps, al, self.scoring)
             for f in out:
                 out[f][chunk] = res[f][:B]

@@ -15,7 +15,9 @@ porechop/include/seqan/align/dp_formula_affine.h, dp_traceback_impl.h,
 dp_algorithm_impl.h:1354-1369); fuzz-validated against ops/spec.py and the
 compiled SeqAn oracle in tests/test_engine_v2.py.
 
-Bit layout per cell (uint8): bit0 H_EXT, bit1 V_EXT, bit2 DIAG, bit3 MAX_V.
+Bit layout per cell (uint8): bit0 H_EXT, bit1 V_EXT, bit2 DIAG, bit3 MAX_V,
+bit4 EQ (read base == adapter base at this cell — precomputed here so the
+traceback's match counting needs one gather per move instead of three).
 The complementary choices (H_OPEN, V_OPEN, MAX_H) are the cleared states.
 A native C++ walker with identical semantics lives in
 porechop_tpu/native/traceback.cpp (used by tests as a second opinion and by
@@ -34,7 +36,7 @@ from jax import lax
 
 from .spec import NEG
 
-B_HEXT, B_VEXT, B_DIAG, B_MAXV = 1, 2, 4, 8
+B_HEXT, B_VEXT, B_DIAG, B_MAXV, B_EQ = 1, 2, 4, 8, 16
 
 
 def _cummax(f):
@@ -83,9 +85,8 @@ def _gather_one(arr, idx):
     return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _forward(reads, read_lens, adapters, adapter_lens,
-             match, mismatch, gap_open, gap_ext):
+def _forward_impl(reads, read_lens, adapters, adapter_lens,
+                  match, mismatch, gap_open, gap_ext):
     """Forward DP.  Returns (bits (A, B, L1) uint8, best_sc (B,),
     cell_i (B,), cell_j (B,), vflag (B,), hflag (B,)) — all on device."""
     B, L = reads.shape
@@ -148,10 +149,12 @@ def _forward(reads, read_lens, adapters, adapter_lens,
              nh[:, :-1] + gap_ext >= nm[:, :-1] + gap_open], axis=1)
         dbit = d >= jnp.maximum(nv, nh)
         mvbit = nv >= nh
+        eqbit = jnp.concatenate([jnp.zeros((B, 1), jnp.bool_), eq], axis=1)
         bits = (hbit.astype(jnp.uint8)
                 | (vbit.astype(jnp.uint8) << 1)
                 | (dbit.astype(jnp.uint8) << 2)
-                | (mvbit.astype(jnp.uint8) << 3))
+                | (mvbit.astype(jnp.uint8) << 3)
+                | (eqbit.astype(jnp.uint8) << 4))
 
         # Freeze lanes whose adapter already ended.
         m_out = jnp.where(act2, nm, m)
@@ -198,8 +201,10 @@ def _forward(reads, read_lens, adapters, adapter_lens,
     return bits, best_sc, cell_i, cell_j, vflag, hflag
 
 
-@jax.jit
-def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
+_forward = jax.jit(_forward_impl, static_argnums=(4, 5, 6, 7))
+
+
+def _traceback_impl(bits, cell_i, cell_j, vflag, hflag):
     """Vectorized traceback over the trace bits: one move per iteration per
     lane, replicating SeqAn's GapsLeft walker (spec.py `_traceback_moves`).
 
@@ -240,7 +245,7 @@ def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
         i, j = state[0], state[1]
         return jnp.any((i > 0) & (j > 0))
 
-    def body(state):
+    def move(state):
         (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
          s_ar_rev, s_ra_rev) = state
         act = (i > 0) & (j > 0)
@@ -265,9 +270,7 @@ def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
         # an adapter base for D/V moves.
         has_rd = go_diag | go_hori
         has_ad = go_diag | go_vert
-        rcode = lane_gather(reads, jnp.maximum(j - 1, 0))
-        acode = lane_gather(adapters, jnp.maximum(i - 1, 0))
-        is_match = go_diag & (rcode == acode)
+        is_match = go_diag & ((tv & B_EQ) != 0)
 
         def upd(x, new, pred):
             return jnp.where(act & pred, new, x)
@@ -290,6 +293,15 @@ def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
         return (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
                 s_ar_rev, s_ra_rev)
 
+    def body(state):
+        # 8 moves per while iteration: the loop condition (an any-reduction
+        # over all lanes) and the loop-carried sync are per-iteration costs,
+        # and a typical walk is only tens of moves long — unrolling slashes
+        # iteration count while finished lanes no-op through extra moves.
+        for _ in range(8):
+            state = move(state)
+        return state
+
     state = (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
              s_ar_rev, s_ra_rev)
     state = lax.while_loop(cond, body, state)
@@ -297,6 +309,100 @@ def _traceback(bits, reads, adapters, cell_i, cell_j, vflag, hflag):
      s_ar_rev, s_ra_rev) = state
     return jnp.stack([i, j, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
                       s_ar_rev, s_ra_rev], axis=1)
+
+
+_traceback = jax.jit(_traceback_impl)
+
+
+def pack_nibbles(mat: np.ndarray):
+    """Packs a (W, L) int8 Dna5 code matrix two-codes-per-byte and ships it
+    to the device.  Tunneled TPU links run at ~33 MB/s, so halving the bytes
+    of every window upload matters more than the (trivial) on-device unpack.
+    Returns a (W, ceil(L/2)) uint8 device array."""
+    mat = np.asarray(mat, np.uint8)
+    if mat.shape[1] % 2:
+        mat = np.pad(mat, ((0, 0), (0, 1)), constant_values=4)
+    packed = mat[:, 0::2] | (mat[:, 1::2] << 4)
+    return jnp.asarray(packed)
+
+
+def _unpack_nibbles(rows, wcols):
+    """(B, L/2) uint8 -> (B, wcols) int8 codes (inverse of pack_nibbles)."""
+    lo = (rows & 0xF).astype(jnp.int8)
+    hi = (rows >> 4).astype(jnp.int8)
+    B = rows.shape[0]
+    return jnp.stack([lo, hi], axis=2).reshape(B, -1)[:, :wcols]
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _fused_gather(wpk, wlens, amat, alens, w_idx, a_idx, wcols,
+                  match, mismatch, gap_open, gap_ext, use_pallas):
+    """One launch for a whole chunk: device-side row fan-out (gather) from
+    the deduplicated window/adapter tables, nibble unpack, forward DP, and
+    traceback.
+
+    Why: on tunneled TPU backends host->device bandwidth is the bottleneck —
+    the detection phase aligns every adapter against the SAME read windows,
+    so shipping one lane per (window, adapter) pair re-transfers each window
+    ~100x.  Gathering on device ships each window once (and packed); only
+    (B, 12) ints come back."""
+    reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+    rl = jnp.take(wlens, w_idx)
+    adps = jnp.take(amat, a_idx, axis=0)
+    al = jnp.take(alens, a_idx)
+    if use_pallas:
+        from . import kernel_pallas
+        fwd = kernel_pallas.forward_pallas_impl(
+            reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
+    else:
+        fwd = _forward_impl(reads, rl, adps, al,
+                            match, mismatch, gap_open, gap_ext)
+    bits, best_sc, cell_i, cell_j, vflag, hflag = fwd
+    walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
+    return walk, best_sc, cell_i, cell_j
+
+
+def align_batch_gather(wpk, wlens, amat, alens, w_idx, a_idx,
+                       scoring=(3, -6, -5, -2), wcols=None):
+    """align_batch over (window, adapter) index pairs into deduplicated
+    tables.  wpk is the nibble-packed (W, ceil(L/2)) uint8 window table from
+    pack_nibbles (device-resident to amortize the transfer across chunks);
+    amat (Na, A) int8; w_idx/a_idx are (B,) host arrays; wcols the unpacked
+    window length.  Returns the same dict as align_batch."""
+    assert supports(scoring)
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    w_idx = np.asarray(w_idx)
+    a_idx = np.asarray(a_idx)
+    rl_host = np.asarray(wlens)[w_idx]
+    al_host = np.asarray(alens)[a_idx]
+    if wcols is None:
+        wcols = 2 * wpk.shape[1]
+
+    from ..parallel import mesh as pmesh
+    m = pmesh.auto_mesh()
+    if m is not None:
+        # Multi-device: fall back to the dense sharded path (tables are
+        # tiny next to ICI bandwidth; the tunnel-transfer problem this
+        # fast path solves does not exist between co-located chips).
+        pk = np.asarray(wpk)
+        wmat_h = np.empty((pk.shape[0], 2 * pk.shape[1]), np.int8)
+        wmat_h[:, 0::2] = (pk & 0xF).astype(np.int8)
+        wmat_h[:, 1::2] = (pk >> 4).astype(np.int8)
+        wmat_h = wmat_h[:, :wcols]
+        amat_h = np.asarray(amat)
+        return align_batch(wmat_h[w_idx], rl_host, amat_h[a_idx], al_host,
+                           scoring)
+
+    B = len(w_idx)
+    L = int(wcols)
+    use_pallas = (_use_pallas()
+                  and B % 32 == 0 and ((L + 128) // 128) * 128 <= (1 << 14))
+    walk, best_sc, cell_i, cell_j = _fused_gather(
+        jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
+        jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
+        jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
+        int(wcols), match, mismatch, gap_open, gap_ext, use_pallas)
+    return finish_v2(walk, best_sc, cell_i, cell_j, rl_host, al_host)
 
 
 def finish_v2(walk, best_sc, cell_i, cell_j, read_lens, adapter_lens):
@@ -441,22 +547,83 @@ def supports(scoring) -> bool:
 _use_pallas_cache = None
 
 
+def _probe_pallas() -> bool:
+    """One-time safety probe: runs a tiny forward_pallas in a SUBPROCESS with
+    a timeout and cross-checks it against the jnp forward.  Some tunneled /
+    remote-compile TPU environments have been observed to hang on any
+    pallas_call execution while plain XLA runs fine — a hang in a subprocess
+    is survivable, in-process it is not.  The verdict is cached on disk per
+    jax version so later runs skip the probe."""
+    import os
+    import subprocess
+    import sys
+
+    cache_dir = os.environ.get(
+        'PORECHOP_TPU_NATIVE_CACHE',
+        os.path.join(os.path.expanduser('~'), '.cache', 'porechop_tpu'))
+    marker = os.path.join(cache_dir, 'pallas_probe_%s' % jax.__version__)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            return f.read().strip() == 'ok'
+    code = (
+        'import os, sys\n'
+        'os.environ["PORECHOP_TPU_PALLAS"] = "1"\n'
+        'sys.path.insert(0, %r)\n'
+        'import numpy as np, jax.numpy as jnp\n'
+        'from porechop_tpu.ops import kernel_pallas, engine_v2\n'
+        'rng = np.random.default_rng(0)\n'
+        'r = jnp.asarray(rng.integers(0, 4, (32, 160)), jnp.int8)\n'
+        'rl = jnp.asarray(np.full(32, 160), jnp.int32)\n'
+        'a = jnp.asarray(rng.integers(0, 4, (32, 24)), jnp.int8)\n'
+        'al = jnp.asarray(np.full(32, 24), jnp.int32)\n'
+        'p = kernel_pallas.forward_pallas(r, rl, a, al, 3, -6, -5, -2)\n'
+        'j = engine_v2._forward(r, rl, a, al, 3, -6, -5, -2)\n'
+        'ok = all(bool(jnp.array_equal(x if x.ndim < 3 else x[..., :161],\n'
+        '                              y if y.ndim < 3 else y[..., :161]))\n'
+        '         for x, y in zip(p, j))\n'
+        'print("PALLAS_PROBE_OK" if ok else "PALLAS_PROBE_MISMATCH")\n'
+    ) % os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        r = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                           timeout=float(os.environ.get(
+                               'PORECHOP_TPU_PALLAS_PROBE_TIMEOUT', '180')))
+        ok = r.returncode == 0 and b'PALLAS_PROBE_OK' in r.stdout
+    except Exception:
+        ok = False
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = marker + '.%d.tmp' % os.getpid()
+        with open(tmp, 'w') as f:
+            f.write('ok' if ok else 'bad')
+        os.replace(tmp, marker)
+    except OSError:
+        pass
+    return ok
+
+
 def _use_pallas() -> bool:
-    """Pallas forward is opt-in (PORECHOP_TPU_PALLAS=1) and requires a real
-    TPU backend.  Opt-in rather than default because tunneled/remote-compile
-    TPU environments have been observed to hang on ANY pallas_call execution
-    (even a trivial copy kernel) while plain XLA runs fine; the jnp forward
-    is the safe default everywhere."""
+    """Pallas forward is the default on real TPU backends (it keeps the DP
+    state VMEM-resident — measured ~2-3x the jnp scan at large shapes), after
+    a one-time subprocess safety probe.  PORECHOP_TPU_PALLAS=0 forces it off;
+    =1 forces it on without probing."""
     global _use_pallas_cache
     if _use_pallas_cache is None:
         import os
-        if not os.environ.get('PORECHOP_TPU_PALLAS'):
+        env = os.environ.get('PORECHOP_TPU_PALLAS', '').strip()
+        if env == '0':
             _use_pallas_cache = False
         else:
             try:
-                _use_pallas_cache = jax.default_backend() == 'tpu'
+                on_tpu = jax.default_backend() == 'tpu'
             except Exception:
+                on_tpu = False
+            if not on_tpu:
                 _use_pallas_cache = False
+            elif env:
+                _use_pallas_cache = True
+            else:
+                _use_pallas_cache = _probe_pallas()
     return _use_pallas_cache
 
 
@@ -488,12 +655,11 @@ def align_batch(reads_pad, read_lens, adapters_pad, adapter_lens,
                 kernel_pallas.forward_pallas(reads_d, rl_d, adapters_d, al_d,
                                              match, mismatch, gap_open,
                                              gap_ext))
-            walk = _traceback(bits, reads_d, adapters_d,
-                              cell_i, cell_j, vflag, hflag)
+            walk = _traceback(bits, cell_i, cell_j, vflag, hflag)
             return finish_v2(walk, best_sc, cell_i, cell_j,
                              read_lens, adapter_lens)
 
     bits, best_sc, cell_i, cell_j, vflag, hflag = _forward(
         reads_d, rl_d, adapters_d, al_d, match, mismatch, gap_open, gap_ext)
-    walk = _traceback(bits, reads_d, adapters_d, cell_i, cell_j, vflag, hflag)
+    walk = _traceback(bits, cell_i, cell_j, vflag, hflag)
     return finish_v2(walk, best_sc, cell_i, cell_j, read_lens, adapter_lens)

@@ -14,13 +14,16 @@ tests/test_kernel_pallas.py which runs both forwards against the
 executable spec.
 
 Layout notes (see the Pallas TPU guide):
-* grid = (B / 32, A): the adapter-row axis is the inner (fastest) grid
+* grid = (B / LANES, A): the adapter-row axis is the inner (fastest) grid
   dimension; the DP state lives in VMEM scratch, which persists across
   inner grid steps on the same core (the standard accumulator pattern), so
   each row step reads/writes only VMEM while the per-row bits block
   pipelines out to HBM;
-* lanes per grid program = 32 so the uint8 bits tile (32, 128) is aligned;
-* all row vectors are (32, L1p) with L1p = L+1 rounded up to 128;
+* LANES per grid program adapts to the window length (_lanes_for): a
+  power of two >= 32 (uint8 tile alignment) sized so the DP scratch fills
+  ~24 MB — short windows get thousands of lanes per block so the grid-step
+  dispatch overhead doesn't dominate;
+* all row vectors are (LANES, L1p) with L1p = L+1 rounded up to 128;
 * the in-row H recurrence uses a log-shift prefix max over VMEM;
 * per-lane dynamic columns (j = read_len) are resolved with masked
   reductions instead of gathers (TPU-friendly);
@@ -42,9 +45,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .spec import NEG
 
-LANES = 32
+LANES = 32                 # minimum lane block (uint8 tile alignment)
 MAX_L1P = 1 << 14          # key-trick bound; larger buckets use the jnp path
 _JKEY = 1 << 14
+
+# Cap on LANES * L1p elements per block.  Bigger blocks mean fewer grid
+# steps (each step has fixed Mosaic dispatch cost, which dominates at short
+# window lengths: detection windows are 150 bp -> L1p=256, where 32-lane
+# blocks would mean ~50k tiny grid steps per launch).  The cap is set by
+# VMEM: the row computation keeps ~15 int32 temporaries of this size live
+# (the Mosaic register allocator spills them to scoped VMEM), so 2^19
+# elements ~= 30 MB of spill + 6 MB state + block buffers, safely under the
+# 100 MB limit.
+_BLOCK_ELEMS = 1 << 19
+
+
+def _lanes_for(B, L1p):
+    lanes = max(32, _BLOCK_ELEMS // L1p)
+    lanes = 1 << (lanes.bit_length() - 1)          # pow2 floor
+    while lanes > 32 and B % lanes:
+        lanes //= 2
+    return lanes
 
 
 def _round_up(x, m):
@@ -56,7 +77,7 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
                     vflag_ref, hflag_ref,
                     m_ref, v_ref, h_ref,
                     tsc_ref, ti_ref, tvf_ref, thf_ref,
-                    *, A, L1p, match, mismatch, gap_open, gap_ext):
+                    *, A, L1p, LANES, match, mismatch, gap_open, gap_ext):
     """Grid program (b, i): DP row i+1 for lane block b.
 
     reads_ref:    (LANES, L1p) int32 — read code at column j is read[j-1]
@@ -134,7 +155,8 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     mvbit = nv >= nh
     # int32 arithmetic, one cast at the end (int8 shifts don't legalize).
     bits32 = (hbit.astype(jnp.int32) + vbit.astype(jnp.int32) * 2
-              + dbit.astype(jnp.int32) * 4 + mvbit.astype(jnp.int32) * 8)
+              + dbit.astype(jnp.int32) * 4 + mvbit.astype(jnp.int32) * 8
+              + jnp.where(col0, 0, eq.astype(jnp.int32)) * 16)
     bits_ref[0] = bits32.astype(jnp.uint8)
 
     # Freeze lanes whose adapter already ended.
@@ -187,9 +209,8 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
                                     row_hf.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def forward_pallas(reads, read_lens, adapters, adapter_lens,
-                   match, mismatch, gap_open, gap_ext):
+def forward_pallas_impl(reads, read_lens, adapters, adapter_lens,
+                        match, mismatch, gap_open, gap_ext):
     """Drop-in replacement for engine_v2._forward (bits come back as
     (A, B, L1p) with L1p >= L+1; the extra columns are padding the
     traceback never visits).
@@ -198,9 +219,10 @@ def forward_pallas(reads, read_lens, adapters, adapter_lens,
     """
     B, L = reads.shape
     A = adapters.shape[1]
-    assert B % LANES == 0, B
     L1p = _round_up(L + 1, 128)
     assert L1p <= MAX_L1P, (L1p, 'bucket too large for the pallas kernel')
+    LANES = _lanes_for(B, L1p)
+    assert B % LANES == 0, (B, LANES)
 
     # Pre-shift reads by one column: column j holds read[j-1].
     reads32 = jnp.pad(reads.astype(jnp.int32), ((0, 0), (1, L1p - L - 1)),
@@ -211,8 +233,8 @@ def forward_pallas(reads, read_lens, adapters, adapter_lens,
     alens = adapter_lens.astype(jnp.int32).reshape(B, 1)
 
     kernel = functools.partial(
-        _forward_kernel, A=A, L1p=L1p, match=match, mismatch=mismatch,
-        gap_open=gap_open, gap_ext=gap_ext)
+        _forward_kernel, A=A, L1p=L1p, LANES=LANES, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
 
     out_shapes = (
         jax.ShapeDtypeStruct((A, B, L1p), jnp.uint8),     # bits
@@ -253,9 +275,18 @@ def forward_pallas(reads, read_lens, adapters, adapter_lens,
             pltpu.VMEM((LANES, 1), jnp.int32),
             pltpu.VMEM((LANES, 1), jnp.int32),
         ],
+        # The DP scratch is 3 int32 rows of L1p per lane block (~6.3 MB at
+        # the 16k cap) — over Mosaic's default 16 MB scoped-VMEM budget once
+        # block double-buffering is added, but far under the 128 MB chip
+        # VMEM.  Raise the cap; actual usage stays bounded by MAX_L1P.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(reads32, alens, rlens, acodes)
     return (bits, best[:, 0], celli[:, 0], cellj[:, 0],
             vflag[:, 0] != 0, hflag[:, 0] != 0)
+
+
+forward_pallas = jax.jit(forward_pallas_impl, static_argnums=(4, 5, 6, 7))
 
 
 def supports_shape(B, L, A) -> bool:

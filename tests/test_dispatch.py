@@ -1,0 +1,139 @@
+"""Dispatch-layer parity: the batch planner must produce identical results
+whichever engine a chunk lands on (device gather path, native host engine,
+or the executable spec), across bucketing, lane padding, and hybrid routing.
+
+Reference semantics: porechop/cpp_function_wrappers.py:42-53 returns the
+7-tuple per (read, adapter) job; the dispatcher reproduces it for arbitrary
+job mixes in dense batches.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from porechop_tpu.ops import dispatch, spec
+
+CODES = 'ACGTN'
+
+
+def _random_jobs(rng, n_windows=23, n_adapters=7, n_pairs=160,
+                 wlen_range=(1, 300), alen_range=(1, 40)):
+    windows = [spec.encode(''.join(rng.choice(list('ACGT'),
+                                              rng.integers(*wlen_range))))
+               for _ in range(n_windows)]
+    adapters = [spec.encode(''.join(rng.choice(list('ACGT'),
+                                               rng.integers(*alen_range))))
+                for _ in range(n_adapters)]
+    pairs = np.column_stack([rng.integers(0, n_windows, n_pairs),
+                             rng.integers(0, n_adapters, n_pairs)])
+    return windows, adapters, pairs
+
+
+def _spec_expected(windows, adapters, pairs):
+    rows = []
+    for wi, ai in pairs:
+        w = ''.join(CODES[c] for c in windows[wi])
+        a = ''.join(CODES[c] for c in adapters[ai])
+        r = spec.align_stats(w, a)
+        rows.append((r.read_start, r.read_end, r.adapter_start,
+                     r.adapter_end, r.raw_score, r.matches, r.aligned_len,
+                     r.full_len))
+    return np.array(rows, dtype=np.int64)
+
+
+FIELDS = ('read_start', 'read_end', 'adapter_start', 'adapter_end',
+          'raw_score', 'matches', 'aligned_len', 'full_len')
+
+
+def _check(res, want):
+    got = np.column_stack([res[f] for f in FIELDS])
+    bad = np.nonzero(~np.all(got == want, axis=1))[0]
+    assert bad.size == 0, (bad[:5], got[bad[:5]], want[bad[:5]])
+
+
+def test_gather_path_matches_spec(monkeypatch):
+    """Pure device path (hybrid routing off): every chunk goes through
+    engine_v2.align_batch_gather with dedup'd device tables."""
+    monkeypatch.setattr(dispatch, '_HYBRID_CELLS', 0)
+    monkeypatch.delenv('PORECHOP_TPU_FORCE_HOST', raising=False)
+    rng = np.random.default_rng(11)
+    windows, adapters, pairs = _random_jobs(rng)
+    want = _spec_expected(windows, adapters, pairs)
+    res = dispatch.AlignJobs(windows, adapters, pairs).run()
+    _check(res, want)
+
+
+def test_hybrid_routing_matches_spec(monkeypatch):
+    """Default hybrid routing (small chunks -> native engine) must be
+    indistinguishable from the device path."""
+    monkeypatch.delenv('PORECHOP_TPU_FORCE_HOST', raising=False)
+    rng = np.random.default_rng(12)
+    windows, adapters, pairs = _random_jobs(rng, n_pairs=97)
+    want = _spec_expected(windows, adapters, pairs)
+    res = dispatch.AlignJobs(windows, adapters, pairs).run()
+    _check(res, want)
+
+
+def test_chunked_launches_match_spec(monkeypatch):
+    """Tiny cell budget forces many chunks per bucket; the per-bucket device
+    tables must still map every lane to the right window/adapter rows."""
+    monkeypatch.setattr(dispatch, '_HYBRID_CELLS', 0)
+    monkeypatch.setattr(dispatch, '_CELL_BUDGET', 200_000)
+    monkeypatch.delenv('PORECHOP_TPU_FORCE_HOST', raising=False)
+    rng = np.random.default_rng(13)
+    windows, adapters, pairs = _random_jobs(rng, n_pairs=300,
+                                            wlen_range=(100, 160))
+    want = _spec_expected(windows, adapters, pairs)
+    res = dispatch.AlignJobs(windows, adapters, pairs).run()
+    _check(res, want)
+
+
+def test_fused_single_device_gather_matches_spec(monkeypatch):
+    """With the mesh disabled, the fused gather->forward->traceback single
+    launch (the production single-chip path) must match the spec, including
+    the nibble pack/unpack round trip."""
+    from porechop_tpu.parallel import mesh as pmesh
+    monkeypatch.setattr(pmesh, '_AUTO_MESH', None)
+    monkeypatch.setattr(pmesh, '_AUTO_MESH_SET', True)
+    monkeypatch.setattr(dispatch, '_HYBRID_CELLS', 0)
+    monkeypatch.delenv('PORECHOP_TPU_FORCE_HOST', raising=False)
+    rng = np.random.default_rng(15)
+    windows, adapters, pairs = _random_jobs(rng, n_pairs=130,
+                                            wlen_range=(1, 151))
+    want = _spec_expected(windows, adapters, pairs)
+    res = dispatch.AlignJobs(windows, adapters, pairs).run()
+    _check(res, want)
+
+
+def test_degenerate_jobs():
+    """Empty windows/adapters resolve host-side as failures (read_start=-1
+    -> zeroed percentages, reference nanopore_read.py:481-485)."""
+    windows = [spec.encode('ACGTACGT'), spec.encode('')]
+    adapters = [spec.encode('ACG'), spec.encode('')]
+    pairs = np.array([[0, 0], [1, 0], [0, 1], [1, 1]])
+    res = dispatch.AlignJobs(windows, adapters, pairs).run()
+    assert res['read_start'][0] != -1
+    assert list(res['read_start'][1:]) == [-1, -1, -1]
+    assert list(res['full_pct'][1:]) == [0.0, 0.0, 0.0]
+
+
+@pytest.mark.skipif(os.environ.get('PORECHOP_TPU_NO_NATIVE') == '1',
+                    reason='native engine disabled')
+def test_native_fallback_equals_device(monkeypatch):
+    """FORCE_HOST (native engine for everything) and the pure device path
+    agree field-for-field on the same job list."""
+    rng = np.random.default_rng(14)
+    windows, adapters, pairs = _random_jobs(rng, n_pairs=120)
+    monkeypatch.setenv('PORECHOP_TPU_FORCE_HOST', '1')
+    host = dispatch.AlignJobs(windows, adapters, pairs).run()
+    monkeypatch.delenv('PORECHOP_TPU_FORCE_HOST')
+    monkeypatch.setattr(dispatch, '_HYBRID_CELLS', 0)
+    dev = dispatch.AlignJobs(windows, adapters, pairs).run()
+    for f in FIELDS + ('read_end_excl',):
+        assert np.array_equal(host[f], dev[f]), f
+    # equal_nan: an empty aligned region yields NaN partial identity on
+    # every engine (the reference's C++ divides by zero there too).
+    assert np.allclose(host['full_pct'], dev['full_pct'], equal_nan=True)
+    assert np.allclose(host['partial_pct'], dev['partial_pct'],
+                       equal_nan=True)

@@ -60,8 +60,7 @@ def test_pallas_full_result_matches_spec():
             reads, rl, adps, al, 3, -6, -5, -2)
     import jax.numpy as jnp
     bits = bits[:, :, :reads.shape[1] + 1]   # trim column padding
-    walk = engine_v2._traceback(bits, jnp.asarray(reads), jnp.asarray(adps),
-                                jnp.asarray(ci), jnp.asarray(cj),
+    walk = engine_v2._traceback(bits, jnp.asarray(ci), jnp.asarray(cj),
                                 jnp.asarray(vf), jnp.asarray(hf))
     out = engine_v2.finish_v2(walk, best, ci, cj, rl, al)
     codes = 'ACGTN'
