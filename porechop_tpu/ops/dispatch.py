@@ -116,6 +116,49 @@ class AlignJobs:
         self.adapters = adapters
         self.pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
         self.scoring = tuple(int(x) for x in scoring)
+        self._group = None          # (group_ids, n_groups) in group-max mode
+        self._gacc = None           # (n_groups, 2) int64 best (m, l)
+        self._dev_grouped = None    # lanes already folded on device
+
+    # Window rungs above this bypass the device group-max (its float32
+    # fraction key is exact only while full_len <= 2048).
+    _GROUP_MAX_RUNG = 1536
+
+    def run_group_max(self, group_ids, n_groups) -> dict:
+        """Group-reduced execution: per group, the best exact identity
+        fraction matches/full_len over its jobs (the detection phase's
+        per-(adapter set, side) max, reference nanopore_read.py:155-164).
+
+        Device chunks reduce on device and ship (n_groups, 2) ints; native
+        and fallback chunks fold their per-pair results on the host.
+        Returns {'matches', 'full_len', 'full_pct'} of shape (n_groups,).
+        """
+        group_ids = np.asarray(group_ids, dtype=np.int64)
+        assert group_ids.shape == (len(self.pairs),)
+        self._group = (group_ids, int(n_groups))
+        # Baseline (0, 1) = 0.0 identity, matching align_adapter's failure
+        # value (reference nanopore_read.py:481-485).
+        self._gacc = np.zeros((n_groups, 2), dtype=np.int64)
+        self._gacc[:, 1] = 1
+        self._dev_grouped = np.zeros(len(self.pairs), dtype=bool)
+        try:
+            res = self.run()
+        finally:
+            group, self._group = self._group, None
+            gacc, self._gacc = self._gacc, None
+            dev_grouped, self._dev_grouped = self._dev_grouped, None
+        # Fold host-computed lanes.
+        rest = np.nonzero(~dev_grouped)[0]
+        for k in rest:
+            g = group_ids[k]
+            m = int(res['matches'][k])
+            ln = int(res['full_len'][k])
+            if res['read_start'][k] == -1 or ln <= 0:
+                continue
+            if m * gacc[g, 1] > gacc[g, 0] * ln:
+                gacc[g] = (m, ln)
+        return {'matches': gacc[:, 0], 'full_len': gacc[:, 1],
+                'full_pct': seqan_pct_vec(gacc[:, 0], gacc[:, 1])}
 
     def run(self) -> dict:
         """Executes all jobs; returns dict of (P,) arrays:
@@ -263,6 +306,22 @@ class AlignJobs:
         a_idx = np.full(Bp, amat_d.shape[0] - 1, dtype=np.int32)
         w_idx[:B] = wmap[self.pairs[chunk, 0]]
         a_idx[:B] = amap[self.pairs[chunk, 1]]
+
+        if self._group is not None and lb <= self._GROUP_MAX_RUNG:
+            from ..parallel import mesh as pmesh
+            if pmesh.auto_mesh() is None:
+                group_ids, n_groups = self._group
+                g_idx = np.full(Bp, n_groups, dtype=np.int32)  # pad -> dummy
+                g_idx[:B] = group_ids[chunk]
+                gm, gl = engine_v2.align_batch_gather_groupmax(
+                    wpk_d, wlen_d, amat_d, alen_d, w_idx, a_idx, g_idx,
+                    n_groups, self.scoring, wcols=wcols)
+                better = gm * self._gacc[:, 1] > self._gacc[:, 0] * gl
+                self._gacc[better, 0] = gm[better]
+                self._gacc[better, 1] = gl[better]
+                self._dev_grouped[chunk] = True
+                return
+
         res = engine_v2.align_batch_gather(wpk_d, wlen_d, amat_d, alen_d,
                                            w_idx, a_idx, self.scoring,
                                            wcols=wcols)

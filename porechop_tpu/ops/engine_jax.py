@@ -28,9 +28,13 @@ import functools
 
 import numpy as np
 
+from . import _jax_setup
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+_jax_setup.configure()
 
 from .spec import NEG, BIG, AlignResult
 

@@ -27,16 +27,24 @@ CPU-only deployments).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
+
+from . import _jax_setup
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+_jax_setup.configure()
+
 from .spec import NEG
 
 B_HEXT, B_VEXT, B_DIAG, B_MAXV, B_EQ = 1, 2, 4, 8, 16
+
+# Moves per traceback while-loop iteration (see _traceback_impl).
+_TB_UNROLL = int(os.environ.get('PORECHOP_TPU_TB_UNROLL', '8'))
 
 
 def _cummax(f):
@@ -218,14 +226,22 @@ def _traceback_impl(bits, cell_i, cell_j, vflag, hflag):
       s_ra_rev        — read bases strictly before the LAST adapter column
     """
     A, B, L1 = bits.shape
-    # (B, A*L1): batch axis leading so a data-parallel sharding of the lane
-    # axis keeps every gather shard-local (no all-gather of the bit planes).
-    bits_t = bits.transpose(1, 0, 2).reshape(B, A * L1)
+    # Index the bits in their native (A, B, L1) layout via a flat gather:
+    # transposing to (B, A*L1) first copies the whole bitmap (~0.5 GB at
+    # detection scale) through HBM in a permuted access pattern, which cost
+    # more than every gather of the walk combined.  (Requires A*B*L1 < 2^31
+    # — guaranteed by the dispatcher's cell budget.)
+    bits_flat = bits.reshape(-1)
+    lane_off = jnp.arange(B, dtype=jnp.int32) * L1
+    plane = B * L1
     i = cell_i.astype(jnp.int32)
     j = cell_j.astype(jnp.int32)
 
-    def lane_gather(mat, idx):
-        return jnp.take_along_axis(mat, idx[:, None], axis=1)[:, 0]
+    def bits_gather(ii, jj):
+        # max(i-1, 0): finished lanes (i == 0) read a harmless in-bounds
+        # cell; `act` masks every update they would make.
+        return jnp.take(bits_flat,
+                        jnp.maximum(ii - 1, 0) * plane + lane_off + jj)
 
     # mode: 0 dispatch, 1 vertical run, 2 horizontal run.
     mode = jnp.where(vflag & (i > 0) & (j > 0), 1,
@@ -249,7 +265,7 @@ def _traceback_impl(bits, cell_i, cell_j, vflag, hflag):
         (i, j, mode, t, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
          s_ar_rev, s_ra_rev) = state
         act = (i > 0) & (j > 0)
-        tv = lane_gather(bits_t, (i - 1) * L1 + j)
+        tv = bits_gather(i, j)
         hx = (tv & B_HEXT) != 0
         vx = (tv & B_VEXT) != 0
         dg = (tv & B_DIAG) != 0
@@ -298,7 +314,7 @@ def _traceback_impl(bits, cell_i, cell_j, vflag, hflag):
         # over all lanes) and the loop-carried sync are per-iteration costs,
         # and a typical walk is only tens of moves long — unrolling slashes
         # iteration count while finished lanes no-op through extra moves.
-        for _ in range(8):
+        for _ in range(_TB_UNROLL):
             state = move(state)
         return state
 
@@ -360,6 +376,112 @@ def _fused_gather(wpk, wlens, amat, alens, w_idx, a_idx, wcols,
     bits, best_sc, cell_i, cell_j, vflag, hflag = fwd
     walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
     return walk, best_sc, cell_i, cell_j
+
+
+def _finish_stats_device(walk, best_sc, cell_i, cell_j, rl, la):
+    """jnp twin of the (matches, full_len, failed) fragment of finish_v2 —
+    keep the two in sync.  Used by the group-max detection path so only a
+    per-group reduction ever leaves the device."""
+    (i0, j0, n_path, matches, rd_tmin, rd_tmax, ad_tmin, ad_tmax,
+     s_ar_rev, s_ra_rev) = (walk[:, k] for k in range(10))
+    BIGV = jnp.int32(1 << 30)
+    bi = cell_i.astype(jnp.int32)
+    bj = cell_j.astype(jnp.int32)
+    rl = rl.astype(jnp.int32)
+    la = la.astype(jnp.int32)
+
+    head = i0 + j0
+    cols = head + n_path
+    has_rd_path = rd_tmax >= 0
+    frc = jnp.where(has_rd_path, head + n_path - 1 - rd_tmax, BIGV)
+    has_ad_path = ad_tmax >= 0
+    fac = jnp.where(has_ad_path, head + n_path - 1 - ad_tmax, BIGV)
+    lac = jnp.where(has_ad_path, head + n_path - 1 - ad_tmin, -1)
+
+    ad_head = i0 > 0
+    fac = jnp.where(ad_head, 0, fac)
+    lac = jnp.where(ad_head & ~has_ad_path, i0 - 1, lac)
+    rd_head = j0 > 0
+    frc = jnp.where(rd_head, 0, frc)
+
+    has_rtail = bj < rl
+    frc = jnp.where(has_rtail, jnp.minimum(frc, cols), frc)
+    cols = cols + jnp.where(has_rtail, rl - bj, 0)
+    has_atail = bi < la
+    fac = jnp.where(has_atail, jnp.minimum(fac, cols), fac)
+    lac = jnp.where(has_atail, cols + (la - bi) - 1, lac)
+
+    full_len = lac - fac + 1
+    failed = (rl == 0) | (la == 0) | (frc >= BIGV) | (fac >= BIGV)
+    return matches, full_len, failed
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _fused_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx, g_idx,
+                           wcols, n_groups, match, mismatch, gap_open,
+                           gap_ext, use_pallas):
+    """Like _fused_gather, but reduces on device: per group (adapter set x
+    side in the detection phase) keep the lane with the maximum exact
+    identity fraction matches/full_len, returning (n_groups, 2) int32 of
+    (matches, full_len).  This is what makes --check_reads-scale detection
+    transfer-free: 10k check reads x 119 sets would otherwise ship ~100 MB
+    of per-pair walks over a ~33 MB/s link.
+
+    The fraction order uses a float32 key; exact while full_len <= 2048
+    (distinct fractions with denominators <= 2048 differ by >= 2^-22 while
+    float32 rounding error is <= 2^-24 per value) — the dispatcher guards
+    the window rung accordingly.  Pad lanes carry g_idx == n_groups."""
+    reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+    rl = jnp.take(wlens, w_idx)
+    adps = jnp.take(amat, a_idx, axis=0)
+    al = jnp.take(alens, a_idx)
+    if use_pallas:
+        from . import kernel_pallas
+        fwd = kernel_pallas.forward_pallas_impl(
+            reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
+    else:
+        fwd = _forward_impl(reads, rl, adps, al,
+                            match, mismatch, gap_open, gap_ext)
+    bits, best_sc, cell_i, cell_j, vflag, hflag = fwd
+    walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
+    matches, full_len, failed = _finish_stats_device(
+        walk, best_sc, cell_i, cell_j, rl, al)
+    ok = (~failed) & (full_len > 0)
+    key = jnp.where(ok, matches.astype(jnp.float32)
+                    / jnp.maximum(full_len, 1).astype(jnp.float32), -1.0)
+    seg = jnp.full((n_groups + 1,), -1.0, jnp.float32).at[g_idx].max(key)
+    lane_best = ok & (key == seg[g_idx])
+    slot = jnp.where(lane_best, g_idx, n_groups)
+    # Among exact-fraction ties the max-matches lane is also the
+    # max-full_len lane (l = m/key), so the two maxes stay consistent.
+    gm = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
+        matches.astype(jnp.int32))
+    gl = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
+        full_len.astype(jnp.int32))
+    return gm[:n_groups], gl[:n_groups]
+
+
+def align_batch_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx,
+                                g_idx, n_groups, scoring=(3, -6, -5, -2),
+                                wcols=None):
+    """Device group-max wrapper; returns host (n_groups,) int64 arrays
+    (best_matches, best_full_len) under the exact-fraction order.  Caller
+    must guard window length <= 2048 (float32 key) and single-device."""
+    assert supports(scoring)
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    if wcols is None:
+        wcols = 2 * wpk.shape[1]
+    B = len(w_idx)
+    L = int(wcols)
+    use_pallas = (_use_pallas()
+                  and B % 32 == 0 and ((L + 128) // 128) * 128 <= (1 << 14))
+    gm, gl = _fused_gather_groupmax(
+        jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
+        jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
+        jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
+        jnp.asarray(g_idx, jnp.int32), int(wcols), int(n_groups),
+        match, mismatch, gap_open, gap_ext, use_pallas)
+    return (np.asarray(gm).astype(np.int64), np.asarray(gl).astype(np.int64))
 
 
 def align_batch_gather(wpk, wlens, amat, alens, w_idx, a_idx,

@@ -37,11 +37,15 @@ from __future__ import annotations
 
 import functools
 
+from . import _jax_setup
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_jax_setup.configure()
 
 from .spec import NEG
 

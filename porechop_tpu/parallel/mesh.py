@@ -17,9 +17,13 @@ import os
 
 import numpy as np
 
+from ..ops import _jax_setup
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_jax_setup.configure()
 
 from ..ops import engine_jax
 

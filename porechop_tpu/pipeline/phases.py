@@ -136,9 +136,14 @@ def find_matching_adapter_sets(check_reads, verbosity, end_size,
         for e, (si, side, ai) in enumerate(entries):
             pairs[e * R:(e + 1) * R, 0] = base + (0 if side == 'start' else 1)
             pairs[e * R:(e + 1) * R, 1] = ai
-        res = AlignJobs(windows, adapter_seqs, pairs, scoring_scheme_vals).run()
-        full = res['full_pct'].reshape(len(entries), R)
-        best = full.max(axis=1)
+        # Group-reduced execution: per (set, side) only the best identity
+        # leaves the device — the per-pair results are never materialized
+        # host-side (reference semantics: max over check reads of the full
+        # adapter %id, nanopore_read.py:155-164).
+        gids = np.repeat(np.arange(len(entries), dtype=np.int64), R)
+        res = AlignJobs(windows, adapter_seqs, pairs,
+                        scoring_scheme_vals).run_group_max(gids, len(entries))
+        best = res['full_pct']
         for e, (si, side, ai) in enumerate(entries):
             aset = search_adapters[si]
             if side == 'start':

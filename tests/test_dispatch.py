@@ -106,6 +106,48 @@ def test_fused_single_device_gather_matches_spec(monkeypatch):
     _check(res, want)
 
 
+def _group_expected(windows, adapters, pairs, gids, n_groups):
+    """Host reference for run_group_max: per group, max full identity by
+    exact fraction; (0, 1) baseline for empty/failed groups."""
+    want = _spec_expected(windows, adapters, pairs)
+    acc = np.zeros((n_groups, 2), dtype=np.int64)
+    acc[:, 1] = 1
+    for k in range(len(pairs)):
+        m, ln = want[k, 5], want[k, 7]
+        if want[k, 0] == -1 or ln <= 0:
+            continue
+        g = gids[k]
+        if m * acc[g, 1] > acc[g, 0] * ln:
+            acc[g] = (m, ln)
+    return acc
+
+
+@pytest.mark.parametrize('device_path', [False, True])
+def test_run_group_max_matches_spec(monkeypatch, device_path):
+    """The detection phase's group reduction must produce identical best
+    identities whichever engine folds each lane (device segment-max vs
+    host fold of native results)."""
+    if device_path:
+        from porechop_tpu.parallel import mesh as pmesh
+        monkeypatch.setattr(pmesh, '_AUTO_MESH', None)
+        monkeypatch.setattr(pmesh, '_AUTO_MESH_SET', True)
+        monkeypatch.setattr(dispatch, '_HYBRID_CELLS', 0)
+    monkeypatch.delenv('PORECHOP_TPU_FORCE_HOST', raising=False)
+    rng = np.random.default_rng(16)
+    windows, adapters, pairs = _random_jobs(rng, n_pairs=240,
+                                            wlen_range=(1, 151))
+    n_groups = 17
+    gids = rng.integers(0, n_groups, len(pairs))
+    res = dispatch.AlignJobs(windows, adapters, pairs).run_group_max(
+        gids, n_groups)
+    acc = _group_expected(windows, adapters, pairs, gids, n_groups)
+    # Identical fractions may come from different (m, l) pairs; the
+    # contract is the identity value, compared after seqan rounding.
+    want_pct = dispatch.seqan_pct_vec(acc[:, 0], acc[:, 1])
+    assert np.allclose(res['full_pct'], want_pct, atol=0), (
+        res['full_pct'], want_pct)
+
+
 def test_degenerate_jobs():
     """Empty windows/adapters resolve host-side as failures (read_start=-1
     -> zeroed percentages, reference nanopore_read.py:481-485)."""
