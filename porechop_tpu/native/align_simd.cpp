@@ -202,10 +202,18 @@ void run_all(const int8_t* reads, const int64_t* read_off,
   constexpr int G = VecOf<E>::lanes;
   std::vector<int64_t> order(P);
   std::iota(order.begin(), order.end(), 0);
+  // Sort by (read len, adapter len): a lane group pads every lane to the
+  // group max in BOTH dimensions, so mixing adapter lengths (detection runs
+  // 20-110 bp adapters over equal windows) wastes rows on every lane.
   std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    const int64_t la_ = read_off[pair_read[a] + 1] - read_off[pair_read[a]];
-    const int64_t lb_ = read_off[pair_read[b] + 1] - read_off[pair_read[b]];
-    return la_ < lb_;
+    const int64_t ra = read_off[pair_read[a] + 1] - read_off[pair_read[a]];
+    const int64_t rb = read_off[pair_read[b] + 1] - read_off[pair_read[b]];
+    if (ra != rb) return ra < rb;
+    const int64_t aa =
+        adapter_off[pair_adapter[a] + 1] - adapter_off[pair_adapter[a]];
+    const int64_t ab =
+        adapter_off[pair_adapter[b] + 1] - adapter_off[pair_adapter[b]];
+    return aa < ab;
   });
   const int64_t n_groups = (P + G - 1) / G;
   std::vector<Group<E>> groups(n_groups);

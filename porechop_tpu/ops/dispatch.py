@@ -147,16 +147,28 @@ class AlignJobs:
             group, self._group = self._group, None
             gacc, self._gacc = self._gacc, None
             dev_grouped, self._dev_grouped = self._dev_grouped, None
-        # Fold host-computed lanes.
+        # Fold host-computed lanes (vectorized: a Python loop here costs
+        # more than the native DP at --check_reads scale).  float64 keys
+        # order fractions exactly for full_len well beyond any window the
+        # host path sees (distinct fractions with denominators l1, l2
+        # differ by >= 1/(l1*l2), far above float64 rounding error).
         rest = np.nonzero(~dev_grouped)[0]
-        for k in rest:
-            g = group_ids[k]
-            m = int(res['matches'][k])
-            ln = int(res['full_len'][k])
-            if res['read_start'][k] == -1 or ln <= 0:
-                continue
-            if m * gacc[g, 1] > gacc[g, 0] * ln:
-                gacc[g] = (m, ln)
+        if rest.size:
+            m = res['matches'][rest]
+            ln = res['full_len'][rest]
+            ok = (res['read_start'][rest] != -1) & (ln > 0)
+            g = group_ids[rest[ok]]
+            key = m[ok] / ln[ok]
+            seg = gacc[:, 0] / gacc[:, 1]
+            np.maximum.at(seg, g, key)
+            win = key == seg[g]
+            best_m = np.zeros(n_groups, dtype=np.int64)
+            np.maximum.at(best_m, g[win], m[ok][win])
+            best_l = np.zeros(n_groups, dtype=np.int64)
+            np.maximum.at(best_l, g[win], ln[ok][win])
+            upd = best_m * gacc[:, 1] > gacc[:, 0] * best_l
+            gacc[upd, 0] = best_m[upd]
+            gacc[upd, 1] = best_l[upd]
         return {'matches': gacc[:, 0], 'full_len': gacc[:, 1],
                 'full_pct': seqan_pct_vec(gacc[:, 0], gacc[:, 1])}
 
@@ -198,10 +210,20 @@ class AlignJobs:
         # Bucket by (window rung, adapter rung): adapters pad to the rung,
         # not the batch max, so compiled shapes are stable across runs and
         # short barcodes don't pay for the longest chemistry adapter.
-        buckets = {}
-        for k in todo:
-            key = (_bucket_len(int(pw[k])), _bucket_adapter_len(int(pa[k])))
-            buckets.setdefault(key, []).append(k)
+        # Vectorized (a Python loop here costs more than the host's share of
+        # the launches at --check_reads scale).
+        lad = np.asarray(_LADDER, dtype=np.int64)
+        wi = np.searchsorted(lad, pw[todo], side='left')
+        lbv = np.where(wi < len(lad), lad[np.minimum(wi, len(lad) - 1)],
+                       ((pw[todo] + 65535) // 65536) * 65536)
+        alad = np.asarray(_A_LADDER, dtype=np.int64)
+        ai = np.searchsorted(alad, pa[todo], side='left')
+        amv = np.where(ai < len(alad), alad[np.minimum(ai, len(alad) - 1)],
+                       ((pa[todo] + 127) // 128) * 128)
+        keys = np.stack([lbv, amv], axis=1)
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        buckets = {(int(u[0]), int(u[1])): todo[inv == g]
+                   for g, u in enumerate(uniq)}
 
         small = []        # chunks routed to the native host engine
         device_work = []  # (lb, amax, chunk) launches
