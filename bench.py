@@ -57,10 +57,10 @@ def run_ours(args):
         main(args)
 
 
-def measure_ours(force_host=None, repeats=2):
+def measure_ours(force_host=None, repeats=3):
     """Times the full workload end-to-end; returns reads/s (best of
-    `repeats` warm runs — the tunneled device's per-launch latency is
-    noisy, +/-30% run to run)."""
+    `repeats` warm runs — both the tunneled device's per-launch latency
+    and the shared build host's CPU are noisy, +/-30% run to run)."""
     from porechop_tpu.utils import synth
     synth.ensure_fastq(FASTQ, n_reads=N_READS, read_len=READ_LEN, seed=0)
     if force_host:

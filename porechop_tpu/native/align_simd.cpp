@@ -62,6 +62,12 @@ struct Scratch {
   std::vector<int8_t> reads_il;         // (L, G) interleaved (DP loads)
 };
 
+// Column-tile width: 3 DP arrays x TILE x 64 B = 24 KB stays L1-resident.
+// Without tiling the long-read DP streams its m/v/h rows (megabytes at
+// L ~ 10 kb) through L2 on every adapter row, capping the engine at
+// ~1.4e9 cells/s; short windows that fit L1 run ~3.5e9.
+constexpr int64_t TILE = 128;
+
 template <typename E>
 void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
                const int8_t* abuf, const int64_t* aoff,
@@ -74,9 +80,14 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
 
   auto vsplat = [](E x) { V r; for (int l = 0; l < G; ++l) r[l] = x; return r; };
 
-  s.m.assign(L1, vsplat(0));
-  s.v.assign(L1, vsplat(neg));
-  s.h.assign(L1, vsplat(neg));
+  // Tile-local DP rows + per-adapter-row tile-edge carries (old = edges
+  // after the previous tile, new = edges being written by this tile; rows
+  // consume row i-1's OLD edge for the diagonal, so the arrays swap).
+  s.m.assign(TILE + 1, vsplat(0));
+  s.v.assign(TILE + 1, vsplat(neg));
+  s.h.assign(TILE + 1, vsplat(neg));
+  std::vector<V> cm_old(A + 1, vsplat(0)), ch_old(A + 1, vsplat(neg));
+  std::vector<V> cm_new(A + 1, vsplat(0)), ch_new(A + 1, vsplat(neg));
   if ((int64_t)s.bits.size() < A * G * L1) s.bits.resize(A * G * L1);
   s.reads.assign(G * L, 4);
   s.adapters.assign(G * A, 4);
@@ -105,58 +116,115 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
 
   int32_t col_best[G], col_i[G];
   uint8_t col_vf[G], col_hf[G];
+  int32_t row_best[G];
+  int64_t j_star[G];
+  uint8_t row_vf[G], row_hf[G];
   for (int l = 0; l < G; ++l) {
     col_best[l] = 0; col_i[l] = 0; col_vf[l] = 0; col_hf[l] = 0;
+    row_best[l] = 0; j_star[l] = 0;     // M(last row, 0) == 0 always
+    row_vf[l] = 0; row_hf[l] = 0;
   }
 
   typedef uint8_t VU8 __attribute__((vector_size(VecOf<E>::lanes)));
+  typedef int8_t VI8 __attribute__((vector_size(VecOf<E>::lanes)));
+
+  std::vector<V> ac_all(A), active_all(A);  // per-row adapter codes/activity
   for (int64_t i = 1; i <= A; ++i) {
-    uint8_t* brow = s.bits.data() + (i - 1) * G * L1;   // plane (L1, G)
     V ac, active;
     for (int l = 0; l < G; ++l) {
       ac[l] = (E)s.adapters[l * A + (i - 1)];
       active[l] = (E)((i <= la[l]) ? -1 : 0);
     }
-    V diag_prev = m[0];
-    V h_prev = vsplat(neg);
-    std::memset(brow, 0, G);                            // column 0
+    ac_all[i - 1] = ac;
+    active_all[i - 1] = active;
+  }
 
-    typedef int8_t VI8 __attribute__((vector_size(VecOf<E>::lanes)));
-    for (int64_t j = 1; j <= L; ++j) {
-      VI8 rc8;
-      std::memcpy(&rc8, &s.reads_il[(j - 1) * G], sizeof(rc8));
-      const V rc = __builtin_convertvector(rc8, V);
-      const V sub = (rc == ac) ? vmatch : vmismatch;
-      const V v_ext = v[j] + vext;
-      const V v_open = m[j] + vopen;
-      const V vbit = (v_ext >= v_open);
-      const V nv = vbit ? v_ext : v_open;
-      const V h_ext = h_prev + vext;
-      const V h_open = m[j - 1] + vopen;     // M(i, j-1), already updated
-      const V hbit = (h_ext >= h_open);
-      const V nh = hbit ? h_ext : h_open;
-      const V d = diag_prev + sub;
-      const V mvbit = (nv >= nh);
-      const V gap = mvbit ? nv : nh;
-      const V dbit = (d >= gap);
-      const V nm = dbit ? d : gap;
-      const V bits = (hbit & one) | (vbit & two) | (dbit & four) |
-                     (mvbit & eight);
-      const VU8 b8 = __builtin_convertvector(bits, VU8);
-      std::memcpy(brow + j * G, &b8, sizeof(b8));       // one vector store
-      diag_prev = m[j];
-      m[j] = active ? nm : m[j];
-      v[j] = active ? nv : v[j];
-      h[j] = active ? nh : h[j];
-      h_prev = nh;
+  // Column-0 trace bytes (the boundary column every row writes as 0).
+  for (int64_t i = 1; i <= A; ++i)
+    std::memset(s.bits.data() + (i - 1) * G * L1, 0, G);
+
+  // Tiles over global columns 1..L; carries start at the column-0
+  // boundary (M(i, 0) = 0, H(i, 0) = NEG for every row), so the first
+  // tile needs no special casing.
+  for (int64_t c0 = 1; c0 <= L; c0 += TILE) {
+    const int64_t c1 = std::min(L + 1, c0 + TILE);
+    const int64_t width = c1 - c0;
+    // Row 0 of this tile: M = 0, V/H = boundary.
+    for (int64_t t = 0; t < width; ++t) {
+      m[t] = vsplat(0);
+      v[t] = vsplat(neg);
+      h[t] = vsplat(neg);
     }
+    for (int64_t i = 1; i <= A; ++i) {
+      uint8_t* brow = s.bits.data() + (i - 1) * G * L1 + c0 * G;
+      const V ac = ac_all[i - 1];
+      const V active = active_all[i - 1];
+      V diag_prev = cm_old[i - 1];          // M(i-1, c0-1)
+      V h_prev = ch_old[i];                 // H(i, c0-1)
+      V m_prev_col = cm_old[i];             // M(i, c0-1)
+      for (int64_t t = 0; t < width; ++t) {
+        const int64_t j = c0 + t;           // global column (>= 1)
+        VI8 rc8;
+        std::memcpy(&rc8, &s.reads_il[(j - 1) * G], sizeof(rc8));
+        const V rc = __builtin_convertvector(rc8, V);
+        const V sub = (rc == ac) ? vmatch : vmismatch;
+        const V v_ext = v[t] + vext;
+        const V v_open = m[t] + vopen;
+        const V vbit = (v_ext >= v_open);
+        const V nv = vbit ? v_ext : v_open;
+        const V h_ext = h_prev + vext;
+        const V h_open = m_prev_col + vopen;    // M(i, j-1), this row
+        const V hbit = (h_ext >= h_open);
+        const V nh = hbit ? h_ext : h_open;
+        const V d = diag_prev + sub;
+        const V mvbit = (nv >= nh);
+        const V gap = mvbit ? nv : nh;
+        const V dbit = (d >= gap);
+        const V nm = dbit ? d : gap;
+        const V bits = (hbit & one) | (vbit & two) | (dbit & four) |
+                       (mvbit & eight);
+        const VU8 b8 = __builtin_convertvector(bits, VU8);
+        std::memcpy(brow + t * G, &b8, sizeof(b8));
+        diag_prev = m[t];                   // M(i-1, j) before update
+        const V m_stored = active ? nm : m[t];
+        const V v_stored = active ? nv : v[t];
+        const V h_stored = active ? nh : h[t];
+        m_prev_col = m_stored;              // frozen rows keep old M chain
+        h_prev = h_stored;
+        m[t] = m_stored;
+        v[t] = v_stored;
+        h[t] = h_stored;
+      }
+      // Edge carries for the next tile; frozen rows inherit the last
+      // active row's edge (matching the shared-array semantics).
+      cm_new[i] = m_prev_col;
+      ch_new[i] = h_prev;
+      // Final-column scout: lanes whose read ends inside this tile.
+      for (int l = 0; l < G; ++l) {
+        if (i > la[l]) continue;
+        if (lr[l] < c0 || lr[l] >= c1) continue;
+        const int64_t t = lr[l] - c0;       // tile-local index
+        const int32_t mm = m[t][l];
+        if (mm > col_best[l]) {
+          col_best[l] = mm; col_i[l] = (int32_t)i;
+          col_vf[l] = (v[t][l] == mm);
+          col_hf[l] = (!col_vf[l] && h[t][l] == mm);
+        }
+      }
+    }
+    std::swap(cm_old, cm_new);
+    std::swap(ch_old, ch_new);
+    // Last-row scout over this tile (strict > keeps the leftmost max;
+    // tiles run left to right so the running argmax matches a full scan).
     for (int l = 0; l < G; ++l) {
-      if (i > la[l]) continue;
-      const int32_t mm = m[lr[l]][l];
-      if (mm > col_best[l]) {
-        col_best[l] = mm; col_i[l] = (int32_t)i;
-        col_vf[l] = (v[lr[l]][l] == mm);
-        col_hf[l] = (!col_vf[l] && h[lr[l]][l] == mm);
+      for (int64_t j = c0; j < std::min<int64_t>(lr[l], c1); ++j) {
+        const int64_t t = j - c0;
+        const int32_t mm = m[t][l];
+        if (mm > row_best[l]) {
+          row_best[l] = mm; j_star[l] = j;
+          row_vf[l] = (v[t][l] == mm);
+          row_hf[l] = (!row_vf[l] && h[t][l] == mm);
+        }
       }
     }
   }
@@ -164,18 +232,12 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
   int32_t ci[G], cj[G], best[G];
   uint8_t vf[G], hf[G];
   for (int l = 0; l < G; ++l) {
-    int32_t row_best = m[0][l];
-    int64_t j_star = 0;
-    for (int64_t j = 1; j < lr[l]; ++j)
-      if (m[j][l] > row_best) { row_best = m[j][l]; j_star = j; }
-    const uint8_t row_vf = (v[j_star][l] == row_best);
-    const uint8_t row_hf = (!row_vf && h[j_star][l] == row_best);
-    if (col_best[l] > row_best) {
+    if (col_best[l] > row_best[l]) {
       best[l] = col_best[l]; ci[l] = col_i[l]; cj[l] = lr[l];
       vf[l] = col_vf[l]; hf[l] = col_hf[l];
     } else {
-      best[l] = row_best; ci[l] = la[l]; cj[l] = (int32_t)j_star;
-      vf[l] = row_vf; hf[l] = row_hf;
+      best[l] = row_best[l]; ci[l] = la[l]; cj[l] = (int32_t)j_star[l];
+      vf[l] = row_vf[l]; hf[l] = row_hf[l];
     }
   }
 
