@@ -24,6 +24,13 @@ def configure() -> None:
     _done = True
     if os.environ.get('PORECHOP_TPU_NO_COMPILE_CACHE'):
         return
+    # CPU-pinned runs (tests, forced-host deployments) skip the cache: XLA's
+    # CPU AOT cache entries record machine-feature sets that can mismatch on
+    # reload (observed "+prefer-no-scatter not supported" warnings), and CPU
+    # compiles are fast anyway.  The cache exists for the 30-60 s per-shape
+    # remote TPU compiles.
+    if 'cpu' in os.environ.get('JAX_PLATFORMS', '').lower():
+        return
     cache = os.environ.get(
         'PORECHOP_TPU_COMPILE_CACHE',
         os.path.join(os.path.expanduser('~'), '.cache', 'porechop_tpu',
