@@ -330,6 +330,34 @@ def _traceback_impl(bits, cell_i, cell_j, vflag, hflag):
 _traceback = jax.jit(_traceback_impl)
 
 
+def _forward_mode(reads, rl, adps, al, match, mismatch, gap_open, gap_ext,
+                  mode):
+    """Forward selector (trace-time static): 0 = jnp scan, 1 = single-tile
+    Pallas kernel (L+1 <= 16 K), 2 = column-tiled Pallas (any length)."""
+    if mode == 1:
+        from . import kernel_pallas
+        return kernel_pallas.forward_pallas_impl(
+            reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
+    if mode == 2:
+        from . import kernel_pallas
+        return kernel_pallas.forward_pallas_tiled_impl(
+            reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
+    return _forward_impl(reads, rl, adps, al,
+                         match, mismatch, gap_open, gap_ext)
+
+
+def _pallas_mode(B, L, A) -> int:
+    """Which forward to trace for a (B, L, A) launch (0/1/2 above)."""
+    if not _use_pallas():
+        return 0
+    from . import kernel_pallas
+    if kernel_pallas.supports_shape(B, L, A):
+        return 1
+    if kernel_pallas.supports_shape_tiled(B, L, A):
+        return 2
+    return 0
+
+
 def pack_nibbles(mat: np.ndarray):
     """Packs a (W, L) int8 Dna5 code matrix two-codes-per-byte and ships it
     to the device.  Tunneled TPU links run at ~33 MB/s, so halving the bytes
@@ -366,13 +394,8 @@ def _fused_gather(wpk, wlens, amat, alens, w_idx, a_idx, wcols,
     rl = jnp.take(wlens, w_idx)
     adps = jnp.take(amat, a_idx, axis=0)
     al = jnp.take(alens, a_idx)
-    if use_pallas:
-        from . import kernel_pallas
-        fwd = kernel_pallas.forward_pallas_impl(
-            reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
-    else:
-        fwd = _forward_impl(reads, rl, adps, al,
-                            match, mismatch, gap_open, gap_ext)
+    fwd = _forward_mode(reads, rl, adps, al, match, mismatch, gap_open,
+                        gap_ext, use_pallas)
     bits, best_sc, cell_i, cell_j, vflag, hflag = fwd
     walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
     return walk, best_sc, cell_i, cell_j
@@ -435,13 +458,8 @@ def _fused_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx, g_idx,
     rl = jnp.take(wlens, w_idx)
     adps = jnp.take(amat, a_idx, axis=0)
     al = jnp.take(alens, a_idx)
-    if use_pallas:
-        from . import kernel_pallas
-        fwd = kernel_pallas.forward_pallas_impl(
-            reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
-    else:
-        fwd = _forward_impl(reads, rl, adps, al,
-                            match, mismatch, gap_open, gap_ext)
+    fwd = _forward_mode(reads, rl, adps, al, match, mismatch, gap_open,
+                        gap_ext, use_pallas)
     bits, best_sc, cell_i, cell_j, vflag, hflag = fwd
     walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
     matches, full_len, failed = _finish_stats_device(
@@ -472,15 +490,13 @@ def align_batch_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx,
     if wcols is None:
         wcols = 2 * wpk.shape[1]
     B = len(w_idx)
-    L = int(wcols)
-    use_pallas = (_use_pallas()
-                  and B % 32 == 0 and ((L + 128) // 128) * 128 <= (1 << 14))
     gm, gl = _fused_gather_groupmax(
         jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
         jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
         jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
         jnp.asarray(g_idx, jnp.int32), int(wcols), int(n_groups),
-        match, mismatch, gap_open, gap_ext, use_pallas)
+        match, mismatch, gap_open, gap_ext,
+        _pallas_mode(B, int(wcols), amat.shape[1]))
     return (np.asarray(gm).astype(np.int64), np.asarray(gl).astype(np.int64))
 
 
@@ -516,14 +532,12 @@ def align_batch_gather(wpk, wlens, amat, alens, w_idx, a_idx,
                            scoring)
 
     B = len(w_idx)
-    L = int(wcols)
-    use_pallas = (_use_pallas()
-                  and B % 32 == 0 and ((L + 128) // 128) * 128 <= (1 << 14))
     walk, best_sc, cell_i, cell_j = _fused_gather(
         jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
         jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
         jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
-        int(wcols), match, mismatch, gap_open, gap_ext, use_pallas)
+        int(wcols), match, mismatch, gap_open, gap_ext,
+        _pallas_mode(B, int(wcols), amat.shape[1]))
     return finish_v2(walk, best_sc, cell_i, cell_j, rl_host, al_host)
 
 
@@ -770,13 +784,15 @@ def align_batch(reads_pad, read_lens, adapters_pad, adapter_lens,
 
     B, L = reads_d.shape
     A = adapters_d.shape[1]
-    if m is None and _use_pallas():
-        from . import kernel_pallas
-        if kernel_pallas.supports_shape(B, L, A):
-            bits, best_sc, cell_i, cell_j, vflag, hflag = (
-                kernel_pallas.forward_pallas(reads_d, rl_d, adapters_d, al_d,
-                                             match, mismatch, gap_open,
-                                             gap_ext))
+    if m is None:
+        mode = _pallas_mode(B, L, A)
+        if mode:
+            from . import kernel_pallas
+            fwd_fn = (kernel_pallas.forward_pallas if mode == 1
+                      else kernel_pallas.forward_pallas_tiled)
+            bits, best_sc, cell_i, cell_j, vflag, hflag = fwd_fn(
+                reads_d, rl_d, adapters_d, al_d,
+                match, mismatch, gap_open, gap_ext)
             walk = _traceback(bits, cell_i, cell_j, vflag, hflag)
             return finish_v2(walk, best_sc, cell_i, cell_j,
                              read_lens, adapter_lens)

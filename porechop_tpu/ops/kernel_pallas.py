@@ -293,5 +293,319 @@ def forward_pallas_impl(reads, read_lens, adapters, adapter_lens,
 forward_pallas = jax.jit(forward_pallas_impl, static_argnums=(4, 5, 6, 7))
 
 
+# ---------------------------------------------------------------------------
+# Column-tiled variant: arbitrary read length (nanopore reads reach ~1 Mb).
+#
+# Grid (B/LANES, n_tiles, A) with the adapter-row axis innermost and tiles
+# left-to-right.  The DP rows live in VMEM for the current tile only; what
+# crosses tiles is one small per-(lane, row) carry record, exactly the
+# quantities the recurrences read from column c0-1 / c0:
+#   cm[i]  = M(i, c1-1)            (next tile's diagonal for row i+1 and
+#                                   h-chain start for row i)
+#   ch[i]  = H(i, c1) = max(H(i, c1-1)+ext, pre(i, c1-1)+open)
+#            (the H value at the next tile's first column; extending it by
+#             t*ext dominates every opening left of the tile, so the in-tile
+#             prefix-max trick stays exact)
+#   cb[i]  = the t=0 H_EXT trace bit of the next tile
+#            (= H(c1-1)+ext >= M(c1-1)+open, row i's own edge)
+# double-buffered on tile parity because row i+1 consumes row i's edge from
+# the PREVIOUS tile after row i has already written this tile's.
+# Frozen rows (i > adapter_len) carry their stored (frozen) edges; their
+# consumers are all frozen too, so the values only need to be defined.
+# The last-row scout keeps its leftmost-max key trick per tile (local t
+# fits 2^14) and folds tiles left-to-right with a strict >, which preserves
+# the global leftmost-first-maximum election.
+# ---------------------------------------------------------------------------
+
+TILE_T = 2048          # columns per tile: ~15 int32 temps x (LANES, T) fits
+
+
+def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
+                  bits_ref, best_ref, celli_ref, cellj_ref,
+                  vflag_ref, hflag_ref,
+                  m_ref, v_ref, h_ref,
+                  cm_ref, ch_ref, cb_ref,
+                  tsc_ref, ti_ref, tvf_ref, thf_ref,
+                  rsc_ref, rj_ref, rvf_ref, rhf_ref,
+                  *, A, T, NT, LANES, match, mismatch, gap_open, gap_ext):
+    """Grid program (b, tile, i): DP row i+1 over columns [tile*T, +T).
+
+    cm/ch_ref: (LANES, 2*AP) int32 — tile-edge carries, parity-buffered
+               (slot p*AP + i); AP = A+1 rounded up to 128.
+    cb_ref:    (LANES, 2*AP) int32 — carried t=0 H_EXT bit.
+    rsc/rj/rvf/rhf_ref: (LANES, 1) int32 — running last-row scout.
+    Everything else matches _forward_kernel.
+    """
+    tile = pl.program_id(1)
+    i = pl.program_id(2)
+    row = i + 1
+    AP = cm_ref.shape[1] // 2
+    p_old = (tile % 2) * AP
+    p_new = ((tile + 1) % 2) * AP
+    jloc = lax.broadcasted_iota(jnp.int32, (LANES, T), 1)
+    jcol = jloc + tile * T                              # global column
+    rlen = rlens_ref[:, 0][:, None]
+    alen = alens_ref[:, 0][:, None]
+    col_is_len = jcol == rlen
+    col0 = jcol == 0
+    t0col = jloc == 0
+    slot = lax.broadcasted_iota(jnp.int32, (LANES, 2 * AP), 1)
+
+    @pl.when((tile == 0) & (i == 0))
+    def _():
+        # Column-0 boundary: M(i, 0) = 0, H(i, 0) = NEG for every row.
+        cm_ref[:] = jnp.zeros((LANES, 2 * AP), jnp.int32)
+        ch_ref[:] = jnp.full((LANES, 2 * AP), NEG, jnp.int32)
+        cb_ref[:] = jnp.zeros((LANES, 2 * AP), jnp.int32)
+        tsc_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        ti_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        tvf_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        thf_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        rsc_ref[:] = jnp.zeros((LANES, 1), jnp.int32)   # M(last row, 0) = 0
+        rj_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        rvf_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        rhf_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.zeros((LANES, T), jnp.int32)     # row 0 of this tile
+        v_ref[:] = jnp.full((LANES, T), NEG, jnp.int32)
+        h_ref[:] = jnp.full((LANES, T), NEG, jnp.int32)
+
+    def carry_read(ref, idx):
+        sel = slot == (p_old + idx)
+        return jnp.max(jnp.where(sel, ref[:], jnp.int32(-2 ** 31)), axis=1)
+
+    m = m_ref[:]
+    v = v_ref[:]
+    a_code = acode_ref[0]                               # (LANES, 1)
+
+    # V matrix.
+    v_ext = v + gap_ext
+    v_open = m + gap_open
+    vbit = v_ext >= v_open
+    nv = jnp.where(vbit, v_ext, v_open)
+    nv = jnp.where(col0, NEG, nv)
+
+    # Diagonal: within-tile shift; t=0 takes row i-1's previous-tile edge.
+    eq = reads_ref[:] == a_code
+    sub = jnp.where(eq, match, mismatch)
+    cm_im1 = carry_read(cm_ref, i)[:, None]             # M(i-1, c0-1)
+    m_shift = pltpu.roll(m, 1, 1)
+    d = jnp.where(t0col, cm_im1, m_shift) + sub
+    d = jnp.where(col0, NEG, d)
+
+    pre = jnp.maximum(d, nv)
+    pre = jnp.where(col0, 0, pre)
+
+    # H row: in-tile prefix max of f, chained through the tile-entry carry
+    # ch = H(i, c0); t = 0 takes the carry itself.
+    ch_in = carry_read(ch_ref, row)[:, None]            # H(i, c0)
+    f = pre + gap_open - (jloc + 1) * gap_ext
+    n_pass = max(1, (T - 1).bit_length())
+    cum = f
+    for k in range(n_pass):
+        sh = 1 << k
+        rolled = pltpu.roll(cum, sh, 1)
+        rolled = jnp.where(jloc < sh, NEG, rolled)
+        cum = jnp.maximum(cum, rolled)
+    cum_shift = pltpu.roll(cum, 1, 1)
+    body_h = jnp.maximum(cum_shift, ch_in) + jloc * gap_ext
+    nh = jnp.where(t0col, ch_in, body_h)
+    nh = jnp.where(col0, NEG, nh)
+
+    nm = jnp.maximum(pre, nh)
+    nm = jnp.where(col0, 0, nm)
+
+    # Trace bits; the t=0 H_EXT bit was computed by the previous tile.
+    # (int32 throughout — mixing bool branches in where() makes Mosaic
+    # emit an unsupported i8->i1 truncation.)
+    nh_shift = pltpu.roll(nh, 1, 1)
+    nm_shift = pltpu.roll(nm, 1, 1)
+    cb_in = carry_read(cb_ref, row)[:, None]            # 0/1 int32
+    hb_body = (nh_shift + gap_ext >= nm_shift + gap_open).astype(jnp.int32)
+    hbit32 = jnp.where(t0col, cb_in, hb_body)
+    hbit32 = jnp.where(col0, 0, hbit32)
+    dbit = d >= jnp.maximum(nv, nh)
+    mvbit = nv >= nh
+    bits32 = (hbit32 + vbit.astype(jnp.int32) * 2
+              + dbit.astype(jnp.int32) * 4 + mvbit.astype(jnp.int32) * 8
+              + jnp.where(col0, 0, eq.astype(jnp.int32)) * 16)
+    bits_ref[0] = bits32.astype(jnp.uint8)
+
+    active = row <= alen
+    m_out = jnp.where(active, nm, m)
+    v_out = jnp.where(active, nv, v)
+    h_out = jnp.where(active, nh, h_ref[:])
+    m_ref[:] = m_out
+    v_ref[:] = v_out
+    h_ref[:] = h_out
+
+    # Carries for the next tile (stored values => frozen rows carry frozen
+    # edges; their consumers are frozen too).
+    m_last = m_out[:, T - 1]
+    h_last = h_out[:, T - 1]
+    pre_last = jnp.where(active[:, 0], pre[:, T - 1],
+                         m_last + 0)        # frozen: value unused downstream
+    ch_next = jnp.maximum(h_last + gap_ext, pre_last + gap_open)
+    cb_next = (h_last + gap_ext >= m_last + gap_open).astype(jnp.int32)
+    wsel = slot == (p_new + row)
+    cm_ref[:] = jnp.where(wsel, m_last[:, None], cm_ref[:])
+    ch_ref[:] = jnp.where(wsel, ch_next[:, None], ch_ref[:])
+    cb_ref[:] = jnp.where(wsel, cb_next[:, None], cb_ref[:])
+
+    @pl.when(i == 0)
+    def _():
+        # Row-0 edges for the next tile: M(0, j) = 0, H(0, j) = NEG.
+        wsel0 = slot == (p_new + 0)
+        cm_ref[:] = jnp.where(wsel0, 0, cm_ref[:])
+        ch_ref[:] = jnp.where(wsel0, NEG, ch_ref[:])
+        cb_ref[:] = jnp.where(wsel0, 0, cb_ref[:])
+
+    # Final-column scout (lanes whose read ends inside this tile).
+    cand_m = jnp.max(jnp.where(col_is_len, nm, NEG), axis=1)
+    cand_v = jnp.max(jnp.where(col_is_len, nv, NEG), axis=1)
+    cand_h = jnp.max(jnp.where(col_is_len, nh, NEG), axis=1)
+    act1 = active[:, 0]
+    better = act1 & (cand_m > tsc_ref[:, 0])
+    uv = cand_v == cand_m
+    uh = (~uv) & (cand_h == cand_m)
+    b2 = better[:, None]
+    tsc_ref[:] = jnp.where(b2, cand_m[:, None], tsc_ref[:])
+    ti_ref[:] = jnp.where(b2, row, ti_ref[:])
+    tvf_ref[:] = jnp.where(b2, uv.astype(jnp.int32)[:, None], tvf_ref[:])
+    thf_ref[:] = jnp.where(b2, uh.astype(jnp.int32)[:, None], thf_ref[:])
+
+    # Last-row scout: fold this tile's leftmost max into the running one.
+    @pl.when(i == A - 1)
+    def _():
+        mf = m_ref[:]
+        vf_ = v_ref[:]
+        hf_ = h_ref[:]
+        valid = jcol < rlen
+        key = jnp.where(valid, mf * _JKEY + (_JKEY - 1 - jloc),
+                        jnp.int32(-2 ** 31) + 1)
+        best_key = jnp.max(key, axis=1)
+        t_sc = best_key >> 14
+        t_loc = (_JKEY - 1) - (best_key - t_sc * _JKEY)
+        sel = valid & (key == best_key[:, None])
+        t_v = jnp.max(jnp.where(sel, vf_, NEG), axis=1)
+        t_h = jnp.max(jnp.where(sel, hf_, NEG), axis=1)
+        any_valid = jnp.any(valid, axis=1)
+        better_r = any_valid & (t_sc > rsc_ref[:, 0])
+        br2 = better_r[:, None]
+        rsc_ref[:] = jnp.where(br2, t_sc[:, None], rsc_ref[:])
+        rj_ref[:] = jnp.where(br2, (t_loc + tile * T)[:, None], rj_ref[:])
+        rvf_ref[:] = jnp.where(br2, (t_v == t_sc).astype(jnp.int32)[:, None],
+                               rvf_ref[:])
+        rhf_ref[:] = jnp.where(
+            br2, ((t_v != t_sc) & (t_h == t_sc)).astype(jnp.int32)[:, None],
+            rhf_ref[:])
+
+    # Election at the very end.
+    @pl.when((tile == NT - 1) & (i == A - 1))
+    def _():
+        col_sc, col_i = tsc_ref[:, 0], ti_ref[:, 0]
+        col_vf, col_hf = tvf_ref[:, 0] != 0, thf_ref[:, 0] != 0
+        row_sc = rsc_ref[:, 0]
+        col_wins = col_sc > row_sc
+        best_ref[:, 0] = jnp.where(col_wins, col_sc, row_sc)
+        celli_ref[:, 0] = jnp.where(col_wins, col_i, alen[:, 0])
+        cellj_ref[:, 0] = jnp.where(col_wins, rlen[:, 0], rj_ref[:, 0])
+        vflag_ref[:, 0] = jnp.where(col_wins, col_vf.astype(jnp.int32),
+                                    rvf_ref[:, 0])
+        hflag_ref[:, 0] = jnp.where(col_wins, col_hf.astype(jnp.int32),
+                                    rhf_ref[:, 0])
+
+
+def forward_pallas_tiled_impl(reads, read_lens, adapters, adapter_lens,
+                              match, mismatch, gap_open, gap_ext):
+    """Column-tiled forward for reads longer than the single-tile kernel's
+    16 K cap; same outputs as forward_pallas_impl with L1p = NT * TILE_T."""
+    B, L = reads.shape
+    A = adapters.shape[1]
+    T = TILE_T
+    NT = (L + 1 + T - 1) // T
+    L1p = NT * T
+    LANES = _lanes_for(B, T)
+    assert B % LANES == 0, (B, LANES)
+    AP = _round_up(A + 1, 128)
+
+    reads32 = jnp.pad(reads.astype(jnp.int32), ((0, 0), (1, L1p - L - 1)),
+                      constant_values=4)
+    acodes = adapters.astype(jnp.int32).T[:, :, None]
+    rlens = read_lens.astype(jnp.int32).reshape(B, 1)
+    alens = adapter_lens.astype(jnp.int32).reshape(B, 1)
+
+    kernel = functools.partial(
+        _tiled_kernel, A=A, T=T, NT=NT, LANES=LANES, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((A, B, L1p), jnp.uint8),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    )
+
+    def small():
+        return pl.BlockSpec((LANES, 1), lambda b, t, i: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    bits, best, celli, cellj, vflag, hflag = pl.pallas_call(
+        kernel,
+        grid=(B // LANES, NT, A),
+        in_specs=[
+            pl.BlockSpec((LANES, T), lambda b, t, i: (b, t),
+                         memory_space=pltpu.VMEM),
+            small(),
+            small(),
+            pl.BlockSpec((1, LANES, 1), lambda b, t, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, LANES, T), lambda b, t, i: (i, b, t),
+                         memory_space=pltpu.VMEM),
+            small(), small(), small(), small(), small(),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((LANES, T), jnp.int32),
+            pltpu.VMEM((LANES, T), jnp.int32),
+            pltpu.VMEM((LANES, T), jnp.int32),
+            pltpu.VMEM((LANES, 2 * AP), jnp.int32),
+            pltpu.VMEM((LANES, 2 * AP), jnp.int32),
+            pltpu.VMEM((LANES, 2 * AP), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(reads32, alens, rlens, acodes)
+    return (bits, best[:, 0], celli[:, 0], cellj[:, 0],
+            vflag[:, 0] != 0, hflag[:, 0] != 0)
+
+
+forward_pallas_tiled = jax.jit(forward_pallas_tiled_impl,
+                               static_argnums=(4, 5, 6, 7))
+
+
+def supports_shape_tiled(B, L, A) -> bool:
+    """Tiled-kernel applicability: lane alignment, the last-row key trick
+    per tile (always satisfied: t < TILE_T <= 2^14), and the traceback's
+    flat int32 indexing bound."""
+    NT = (L + 1 + TILE_T - 1) // TILE_T
+    lanes = _lanes_for(B, TILE_T)
+    return B % lanes == 0 and A * B * NT * TILE_T < 2 ** 31
+
+
 def supports_shape(B, L, A) -> bool:
     return B % LANES == 0 and _round_up(L + 1, 128) <= MAX_L1P
