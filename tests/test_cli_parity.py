@@ -344,3 +344,39 @@ def test_error_cases():
     check_parity(['-o', 'x.fastq', '--scoring_scheme', '1,2,3'], ONE)
     check_parity(['-o', 'x.fastq', '-t', '0'], ONE)
     check_parity(['-i', '/nonexistent/file', '-o', 'x.fastq'])
+
+
+# ---- coverage the reference's own suite lacks ----
+
+def _write_fastq(path, recs):
+    with open(path, 'w') as f:
+        for name, seq in recs:
+            f.write('@%s\n%s\n+\n%s\n' % (name, seq, 'A' * len(seq)))
+
+
+def test_rna_reads_round_trip(tmp_path):
+    """RNA input (U > T count): align with U->T, emit with T->U
+    (reference nanopore_read.py:26-31,106)."""
+    rng = __import__('random').Random(5)
+    adapter = 'AATGTACTTCGTTCAGTTACGTATTGCT'          # SQK-NSK007 start
+    recs = []
+    for k in range(4):
+        body = ''.join(rng.choice('ACGU') for _ in range(2000))
+        seq = (adapter.replace('T', 'U') if k % 2 == 0 else '') + body
+        recs.append(('rna_%d' % k, seq))
+    fx = str(tmp_path / 'rna.fastq')
+    _write_fastq(fx, recs)
+    check_parity(['-i', fx, '-o', 'out.fastq', '--check_reads', '4'])
+
+
+def test_reads_shorter_than_end_size(tmp_path):
+    """Reads shorter than --end_size exercise the whole-read window slice
+    (reference nanopore_read.py:172,194 take seq[:end] of a short seq)."""
+    rng = __import__('random').Random(6)
+    adapter = 'AATGTACTTCGTTCAGTTACGTATTGCT'
+    recs = [('tiny_%d' % k,
+             adapter[:12] + ''.join(rng.choice('ACGT') for _ in range(n)))
+            for k, n in enumerate((5, 40, 90, 149, 151))]
+    fx = str(tmp_path / 'tiny.fastq')
+    _write_fastq(fx, recs)
+    check_parity(['-i', fx, '-o', 'out.fastq', '--check_reads', '5'])
