@@ -226,6 +226,7 @@ class AlignJobs:
                    for g, u in enumerate(uniq)}
 
         small = []        # chunks routed to the native host engine
+        small_meta = []   # matching (lb, amax, chunk) for device push-back
         device_work = []  # (lb, amax, chunk) launches
         route_small = use_jax and self._native_available()
         for (lb, amax), idxs in sorted(buckets.items()):
@@ -242,18 +243,9 @@ class AlignJobs:
                 cells = _bucket_lanes(len(chunk)) * (lb + 1) * amax
                 if route_small and cells < _HYBRID_CELLS:
                     small.append(chunk)
+                    small_meta.append((lb, amax, chunk))
                 else:
                     device_work.append((lb, amax, chunk))
-
-        if small:
-            small = np.concatenate(small)
-            if not self._run_native(small, out):
-                # Native engine raced away (e.g. compiler cache wiped):
-                # push the chunks back onto the device queue.
-                for (lb, amax), idxs in sorted(buckets.items()):
-                    sel = np.asarray(idxs)[np.isin(np.asarray(idxs), small)]
-                    if sel.size:
-                        device_work.append((lb, amax, sel))
 
         # Per-rung job index lists for the device queue, so uploads dedup
         # across buckets sharing a rung (a window rung's table is shared by
@@ -264,35 +256,67 @@ class AlignJobs:
             rung_w.setdefault(lb, []).append(chunk)
             rung_a.setdefault(amax, []).append(chunk)
 
+        # Enqueue EVERY device launch before touching results: JAX dispatch
+        # is asynchronous, so the launches pipeline back-to-back on device
+        # (no ~30 ms tunnel round trip between chunks), and the host-native
+        # small-chunk work below runs concurrently with device compute.
+        gather = use_jax and self._gather_capable()
         tables = {'w': {}, 'a': {}}   # device-resident dedup tables
+        pending = []                  # (chunk, handle) to harvest late
+        t0 = time.perf_counter() if _TIMING else 0.0
         for lb, amax, chunk in device_work:
-            t0 = time.perf_counter() if _TIMING else 0.0
-            if use_jax and self._gather_capable():
-                self._run_chunk_gather(chunk, lb, amax, out, tables,
-                                       rung_w, rung_a)
+            if gather:
+                h = self._launch_chunk_gather(chunk, lb, amax, tables,
+                                              rung_w, rung_a)
+                pending.append((chunk, h))
             else:
                 self._run_chunk(chunk, lb, amax, out, use_jax)
-            if _TIMING:
-                dt = time.perf_counter() - t0
-                cells = _bucket_lanes(len(chunk)) * (lb + 1) * amax
-                print('[timing] launch B=%d L=%d A=%d: %.3fs '
-                      '(%.2e cells/s)' % (len(chunk), lb, amax, dt,
-                                          cells / max(dt, 1e-9)),
-                      file=sys.stderr, flush=True)
+        if _TIMING and device_work:
+            print('[timing] enqueued %d launches in %.3fs'
+                  % (len(device_work), time.perf_counter() - t0),
+                  file=sys.stderr, flush=True)
+
+        if small:
+            smallcat = np.concatenate(small)
+            if not self._run_native(smallcat, out):
+                # Native engine raced away (e.g. compiler cache wiped):
+                # push the chunks onto the device queue instead.
+                for lb, amax, chunk in small_meta:
+                    if gather:
+                        rung_w.setdefault(lb, []).append(chunk)
+                        rung_a.setdefault(amax, []).append(chunk)
+                        h = self._launch_chunk_gather(chunk, lb, amax,
+                                                      tables, rung_w, rung_a)
+                        pending.append((chunk, h))
+                    else:
+                        self._run_chunk(chunk, lb, amax, out, use_jax)
+
+        t0 = time.perf_counter() if _TIMING else 0.0
+        for chunk, h in pending:
+            self._harvest(chunk, h, out)
+        if _TIMING and pending:
+            dt = time.perf_counter() - t0
+            cells = int(sum(_bucket_lanes(len(c)) * (lb + 1) * amax
+                            for lb, amax, c in device_work))
+            print('[timing] harvested %d launches in %.3fs (%.2e cells/s '
+                  'incl. enqueue-overlap)' % (len(pending), dt,
+                                              cells / max(dt, 1e-9)),
+                  file=sys.stderr, flush=True)
         return self._package(out)
 
     @staticmethod
     def _gather_capable() -> bool:
         return os.environ.get('PORECHOP_TPU_ENGINE', 'v2') != 'v1'
 
-    def _run_chunk_gather(self, chunk, lb, amax, out, tables, rung_w, rung_a):
-        """Launch a chunk through engine_v2.align_batch_gather: the dedup'd
-        window/adapter tables upload once per rung (kept in `tables` as
-        device arrays — the window table for rung lb is shared by every
+    def _launch_chunk_gather(self, chunk, lb, amax, tables, rung_w, rung_a):
+        """Enqueue a chunk through engine_v2.align_batch_gather_async: the
+        dedup'd window/adapter tables upload once per rung (kept in `tables`
+        as device arrays — the window table for rung lb is shared by every
         adapter rung, so the middle phase's reads ship once, not once per
         adapter length) and each lane is just a pair of int32 row indices.
         Window codes cross the tunnel packed two-per-byte (~33 MB/s links
-        make transfer bytes the scarce resource) and unpack on device."""
+        make transfer bytes the scarce resource) and unpack on device.
+        Returns a handle for _harvest; does NOT block."""
         import jax.numpy as jnp
 
         from . import engine_v2
@@ -330,23 +354,33 @@ class AlignJobs:
         a_idx[:B] = amap[self.pairs[chunk, 1]]
 
         if self._group is not None and lb <= self._GROUP_MAX_RUNG:
-            from ..parallel import mesh as pmesh
-            if pmesh.auto_mesh() is None:
-                group_ids, n_groups = self._group
-                g_idx = np.full(Bp, n_groups, dtype=np.int32)  # pad -> dummy
-                g_idx[:B] = group_ids[chunk]
-                gm, gl = engine_v2.align_batch_gather_groupmax(
-                    wpk_d, wlen_d, amat_d, alen_d, w_idx, a_idx, g_idx,
-                    n_groups, self.scoring, wcols=wcols)
-                better = gm * self._gacc[:, 1] > self._gacc[:, 0] * gl
-                self._gacc[better, 0] = gm[better]
-                self._gacc[better, 1] = gl[better]
-                self._dev_grouped[chunk] = True
-                return
+            group_ids, n_groups = self._group
+            g_idx = np.full(Bp, n_groups, dtype=np.int32)  # pad -> dummy
+            g_idx[:B] = group_ids[chunk]
+            gm_gl = engine_v2.align_batch_gather_groupmax_async(
+                wpk_d, wlen_d, amat_d, alen_d, w_idx, a_idx, g_idx,
+                n_groups, self.scoring, wcols=wcols)
+            return ('gm', gm_gl)
 
-        res = engine_v2.align_batch_gather(wpk_d, wlen_d, amat_d, alen_d,
-                                           w_idx, a_idx, self.scoring,
-                                           wcols=wcols)
+        h = engine_v2.align_batch_gather_async(wpk_d, wlen_d, amat_d, alen_d,
+                                               w_idx, a_idx, self.scoring,
+                                               wcols=wcols)
+        return ('res', h)
+
+    def _harvest(self, chunk, handle, out):
+        """Blocks on a _launch_chunk_gather handle and scatters results."""
+        from . import engine_v2
+        kind, h = handle
+        B = len(chunk)
+        if kind == 'gm':
+            gm = np.asarray(h[0]).astype(np.int64)
+            gl = np.asarray(h[1]).astype(np.int64)
+            better = gm * self._gacc[:, 1] > self._gacc[:, 0] * gl
+            self._gacc[better, 0] = gm[better]
+            self._gacc[better, 1] = gl[better]
+            self._dev_grouped[chunk] = True
+            return
+        res = engine_v2.finish_gather(h)
         for f in out:
             out[f][chunk] = res[f][:B]
 

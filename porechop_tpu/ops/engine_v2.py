@@ -479,25 +479,70 @@ def _fused_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx, g_idx,
     return gm[:n_groups], gl[:n_groups]
 
 
-def align_batch_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx,
-                                g_idx, n_groups, scoring=(3, -6, -5, -2),
-                                wcols=None):
-    """Device group-max wrapper; returns host (n_groups,) int64 arrays
-    (best_matches, best_full_len) under the exact-fraction order.  Caller
-    must guard window length <= 2048 (float32 key) and single-device."""
+def align_batch_gather_groupmax_async(wpk, wlens, amat, alens, w_idx, a_idx,
+                                      g_idx, n_groups,
+                                      scoring=(3, -6, -5, -2), wcols=None):
+    """Enqueues the device group-max launch and returns the device result
+    arrays WITHOUT blocking (JAX dispatch is asynchronous): callers can
+    issue every chunk's launch back-to-back so the device pipeline stays
+    full, then harvest with np.asarray once all launches are in flight.
+    Caller must guard window length <= 2048 (float32 key)."""
     assert supports(scoring)
     match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
     if wcols is None:
         wcols = 2 * wpk.shape[1]
     B = len(w_idx)
-    gm, gl = _fused_gather_groupmax(
+    return _fused_gather_groupmax(
         jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
         jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
         jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
         jnp.asarray(g_idx, jnp.int32), int(wcols), int(n_groups),
         match, mismatch, gap_open, gap_ext,
         _pallas_mode(B, int(wcols), amat.shape[1]))
+
+
+def align_batch_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx,
+                                g_idx, n_groups, scoring=(3, -6, -5, -2),
+                                wcols=None):
+    """Device group-max wrapper; returns host (n_groups,) int64 arrays
+    (best_matches, best_full_len) under the exact-fraction order.  Caller
+    must guard window length <= 2048 (float32 key) and single-device."""
+    gm, gl = align_batch_gather_groupmax_async(
+        wpk, wlens, amat, alens, w_idx, a_idx, g_idx, n_groups, scoring,
+        wcols)
     return (np.asarray(gm).astype(np.int64), np.asarray(gl).astype(np.int64))
+
+
+def align_batch_gather_async(wpk, wlens, amat, alens, w_idx, a_idx,
+                             scoring=(3, -6, -5, -2), wcols=None):
+    """Enqueues the fused gather+forward+traceback launch and returns a
+    handle (device arrays + host lengths) WITHOUT blocking.  Finish with
+    `finish_gather(handle)` after every launch has been issued — JAX's
+    async dispatch then overlaps all chunk launches with each other and
+    with any host-side work done in between."""
+    assert supports(scoring)
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    w_idx = np.asarray(w_idx)
+    a_idx = np.asarray(a_idx)
+    rl_host = np.asarray(wlens)[w_idx]
+    al_host = np.asarray(alens)[a_idx]
+    if wcols is None:
+        wcols = 2 * wpk.shape[1]
+    B = len(w_idx)
+    walk, best_sc, cell_i, cell_j = _fused_gather(
+        jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
+        jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
+        jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
+        int(wcols), match, mismatch, gap_open, gap_ext,
+        _pallas_mode(B, int(wcols), amat.shape[1]))
+    return (walk, best_sc, cell_i, cell_j, rl_host, al_host)
+
+
+def finish_gather(handle):
+    """Blocks on an align_batch_gather_async handle and assembles the
+    reference 7-tuple fields on the host."""
+    walk, best_sc, cell_i, cell_j, rl_host, al_host = handle
+    return finish_v2(walk, best_sc, cell_i, cell_j, rl_host, al_host)
 
 
 def align_batch_gather(wpk, wlens, amat, alens, w_idx, a_idx,
@@ -507,38 +552,8 @@ def align_batch_gather(wpk, wlens, amat, alens, w_idx, a_idx,
     pack_nibbles (device-resident to amortize the transfer across chunks);
     amat (Na, A) int8; w_idx/a_idx are (B,) host arrays; wcols the unpacked
     window length.  Returns the same dict as align_batch."""
-    assert supports(scoring)
-    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
-    w_idx = np.asarray(w_idx)
-    a_idx = np.asarray(a_idx)
-    rl_host = np.asarray(wlens)[w_idx]
-    al_host = np.asarray(alens)[a_idx]
-    if wcols is None:
-        wcols = 2 * wpk.shape[1]
-
-    from ..parallel import mesh as pmesh
-    m = pmesh.auto_mesh()
-    if m is not None:
-        # Multi-device: fall back to the dense sharded path (tables are
-        # tiny next to ICI bandwidth; the tunnel-transfer problem this
-        # fast path solves does not exist between co-located chips).
-        pk = np.asarray(wpk)
-        wmat_h = np.empty((pk.shape[0], 2 * pk.shape[1]), np.int8)
-        wmat_h[:, 0::2] = (pk & 0xF).astype(np.int8)
-        wmat_h[:, 1::2] = (pk >> 4).astype(np.int8)
-        wmat_h = wmat_h[:, :wcols]
-        amat_h = np.asarray(amat)
-        return align_batch(wmat_h[w_idx], rl_host, amat_h[a_idx], al_host,
-                           scoring)
-
-    B = len(w_idx)
-    walk, best_sc, cell_i, cell_j = _fused_gather(
-        jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
-        jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
-        jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
-        int(wcols), match, mismatch, gap_open, gap_ext,
-        _pallas_mode(B, int(wcols), amat.shape[1]))
-    return finish_v2(walk, best_sc, cell_i, cell_j, rl_host, al_host)
+    return finish_gather(align_batch_gather_async(
+        wpk, wlens, amat, alens, w_idx, a_idx, scoring, wcols))
 
 
 def finish_v2(walk, best_sc, cell_i, cell_j, read_lens, adapter_lens):

@@ -432,48 +432,53 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
     else:
         fallback = []
 
-    # Reads with >= 1 hit replay the reference's exact adapter-by-adapter,
-    # mask-and-retry order; round-0 results stand in for a (read, adapter)
-    # first iteration as long as that read is still unmasked.
-    dirty = np.zeros(read_count, dtype=bool)
-    for ai, (adapter_name, adapter_seq) in enumerate(adapters):
-        active = list(fallback)
-        first_iter = True
-        while active:
-            need = [ri for ri in active if dirty[ri] or not first_iter]
-            results = {}
-            for ri in active:
-                if not (dirty[ri] or not first_iter):
-                    k = ai * read_count + ri
-                    results[ri] = (round0['full_pct'][k],
-                                   int(round0['read_start'][k]),
-                                   int(round0['read_end_excl'][k]))
-            if need:
-                res = AlignJobs([masked[ri] for ri in need],
-                                [a_code_list[ai]],
-                                np.column_stack([
-                                    np.arange(len(need), dtype=np.int64),
-                                    np.zeros(len(need), np.int64)]),
-                                scoring_scheme_vals).run()
-                for n, ri in enumerate(need):
-                    results[ri] = (res['full_pct'][n],
-                                   int(res['read_start'][n]),
-                                   int(res['read_end_excl'][n]))
-            next_active = []
-            for ri in active:
-                full_score, read_start, read_end = results[ri]
-                if full_score >= middle_threshold:
-                    masked[ri][read_start:read_end] = END_CODE_N
-                    dirty[ri] = True
-                    reads[ri].add_middle_hit(adapter_name, read_start,
-                                             read_end, full_score,
-                                             extra_trim_good_side,
-                                             extra_trim_bad_side,
-                                             start_sequence_names,
-                                             end_sequence_names)
-                    next_active.append(ri)
-            active = next_active
-            first_iter = False
+    # Reads with >= 1 hit replay the reference's exact per-read
+    # adapter-by-adapter, mask-and-retry order (nanopore_read.py:216-243).
+    # Reads are independent, so the replay is a per-read state machine
+    # (current adapter index + masked sequence) advanced in GLOBAL rounds:
+    # every pending (read, adapter) alignment across all reads and all
+    # adapters batches into one launch per round, so the launch count is
+    # the longest single read's chain (adapters + hits), not the sum of
+    # per-adapter iteration counts.
+    #
+    # Round-0 results stand in until a read's first mask: per read, scan
+    # adapters in order against round0 (computed on the unmasked sequence —
+    # exactly what the reference would align) until the first hit; apply
+    # that hit, then everything after runs on freshly masked sequences.
+    def apply_hit(ri, ai, read_start, read_end, full_score):
+        masked[ri][read_start:read_end] = END_CODE_N
+        reads[ri].add_middle_hit(adapters[ai][0], read_start, read_end,
+                                 full_score, extra_trim_good_side,
+                                 extra_trim_bad_side, start_sequence_names,
+                                 end_sequence_names)
+
+    pend = []   # (ri, ai): the next alignment each in-flight read needs
+    for ri in fallback:
+        for ai in range(n_ad):
+            k = ai * read_count + ri
+            full_score = round0['full_pct'][k]
+            if full_score >= middle_threshold:
+                apply_hit(ri, ai, int(round0['read_start'][k]),
+                          int(round0['read_end_excl'][k]), full_score)
+                pend.append((ri, ai))   # re-align same adapter, now masked
+                break
+
+    while pend:
+        res = AlignJobs([masked[ri] for ri, _ in pend], a_code_list,
+                        np.column_stack([
+                            np.arange(len(pend), dtype=np.int64),
+                            np.array([ai for _, ai in pend], np.int64)]),
+                        scoring_scheme_vals).run()
+        nxt = []
+        for n, (ri, ai) in enumerate(pend):
+            full_score = res['full_pct'][n]
+            if full_score >= middle_threshold:
+                apply_hit(ri, ai, int(res['read_start'][n]),
+                          int(res['read_end_excl'][n]), full_score)
+                nxt.append((ri, ai))
+            elif ai + 1 < n_ad:
+                nxt.append((ri, ai + 1))
+        pend = nxt
 
     if verbosity == 1:
         # The reference's threaded loop prints finished_count + 1
