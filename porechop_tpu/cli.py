@@ -50,16 +50,34 @@ def _run_pipeline(args):
     if chunk_size:
         return _run_streaming_pipeline(args, chunk_size, stream_mod)
 
+    # Multi-host: each jax.distributed process takes a contiguous block of
+    # the reads; only the detection stats merge globally (see
+    # parallel/multihost.py).  Progress text describes the local shard, so
+    # ranks > 0 silence theirs.
+    from .parallel import multihost
+    mh = multihost.maybe_init()
+    stats_merge = None
+    if mh:
+        stats_merge = multihost.merge_detection_stats
+        if multihost.rank() > 0:
+            args.print_dest = open(os.devnull, 'w')
+
     reads, check_reads, read_type = load_reads(args.input, args.verbosity,
                                                args.print_dest,
                                                args.check_reads)
+    if mh:
+        lo, hi = multihost.block_slice(len(reads))
+        clo, chi = multihost.block_slice(len(check_reads))
+        reads = reads[lo:hi]
+        check_reads = check_reads[clo:chi]
 
     matching_sets = find_matching_adapter_sets(check_reads, args.verbosity,
                                                args.end_size,
                                                args.scoring_scheme_vals,
                                                args.print_dest,
                                                args.adapter_threshold,
-                                               args.threads)
+                                               args.threads,
+                                               stats_merge=stats_merge)
     matching_sets = fix_up_1d2_sets(matching_sets)
 
     if args.barcode_dir:
@@ -104,10 +122,14 @@ def _run_pipeline(args):
         print('No adapters found - output reads are unchanged from input reads\n',
               file=args.print_dest)
 
-    output_reads(reads, args.format, args.output, read_type, args.verbosity,
-                 args.discard_middle, args.min_split_read_size,
-                 args.print_dest, args.barcode_dir, args.input,
-                 args.untrimmed, args.threads, args.discard_unassigned)
+    if mh:
+        multihost.output_and_merge(reads, args, read_type, output_reads)
+    else:
+        output_reads(reads, args.format, args.output, read_type,
+                     args.verbosity, args.discard_middle,
+                     args.min_split_read_size, args.print_dest,
+                     args.barcode_dir, args.input, args.untrimmed,
+                     args.threads, args.discard_unassigned)
 
 
 def _run_streaming_pipeline(args, chunk_size, stream_mod):

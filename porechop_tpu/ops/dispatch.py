@@ -331,8 +331,10 @@ class AlignJobs:
                 wlen[r] = len(w)
             wmap = np.full(len(self.windows), len(uw), dtype=np.int32)
             wmap[uw] = np.arange(len(uw), dtype=np.int32)
-            tables['w'][lb] = (engine_v2.pack_nibbles(wmat),
-                               jnp.asarray(wlen), wmap, wmat.shape[1])
+            tables['w'][lb] = (
+                engine_v2.put_replicated(engine_v2.pack_nibbles(wmat)),
+                engine_v2.put_replicated(jnp.asarray(wlen)),
+                wmap, wmat.shape[1])
         if amax not in tables['a']:
             ua = np.unique(self.pairs[np.concatenate(rung_a[amax]), 1])
             amat = np.full((len(ua) + 1, amax), 4, dtype=np.int8)
@@ -343,7 +345,9 @@ class AlignJobs:
                 alen[r] = len(a)
             amap = np.full(len(self.adapters), len(ua), dtype=np.int32)
             amap[ua] = np.arange(len(ua), dtype=np.int32)
-            tables['a'][amax] = (jnp.asarray(amat), jnp.asarray(alen), amap)
+            tables['a'][amax] = (
+                engine_v2.put_replicated(jnp.asarray(amat)),
+                engine_v2.put_replicated(jnp.asarray(alen)), amap)
         wpk_d, wlen_d, wmap, wcols = tables['w'][lb]
         amat_d, alen_d, amap = tables['a'][amax]
         B = len(chunk)

@@ -108,15 +108,19 @@ def _forward_impl(reads, read_lens, adapters, adapter_lens,
     j_idx = jnp.arange(L1, dtype=dtype)[None, :]
     jcols = jnp.broadcast_to(j_idx, (B, L1))
 
-    m0 = jnp.zeros((B, L1), dtype)
-    v0 = jnp.full((B, L1), NEG, dtype)
-    h0 = jnp.full((B, L1), NEG, dtype)
+    # Initial carries derive from read_lens (x*0 terms) so that under
+    # shard_map they carry the same varying-axis type as the loop outputs
+    # (jax >= 0.9 rejects unvarying-in / varying-out scan carries).
+    zb = read_lens * 0                         # (B,) zeros, varying
+    m0 = jnp.zeros((B, L1), dtype) + zb[:, None]
+    v0 = jnp.full((B, L1), NEG, dtype) + zb[:, None]
+    h0 = jnp.full((B, L1), NEG, dtype) + zb[:, None]
 
     # Final-column (j = read_len) scout candidates, tracked per row.
-    col_best_sc = jnp.zeros((B,), dtype)       # M(0, len) = 0
-    col_best_i = jnp.zeros((B,), dtype)
-    col_vflag = jnp.zeros((B,), jnp.bool_)
-    col_hflag = jnp.zeros((B,), jnp.bool_)
+    col_best_sc = zb                           # M(0, len) = 0
+    col_best_i = zb
+    col_vflag = zb != 0
+    col_hflag = zb != 0
 
     def step(carry, xs):
         m, v, h, col_best_sc, col_best_i, col_vflag, col_hflag = carry
@@ -248,14 +252,17 @@ def _traceback_impl(bits, cell_i, cell_j, vflag, hflag):
                      jnp.where(hflag & (i > 0) & (j > 0), 2, 0)
                      ).astype(jnp.int32)
 
-    t = jnp.zeros((B,), jnp.int32)
-    matches = jnp.zeros((B,), jnp.int32)
-    rd_tmin = jnp.full((B,), -1, jnp.int32)
-    rd_tmax = jnp.full((B,), -1, jnp.int32)
-    ad_tmin = jnp.full((B,), -1, jnp.int32)
-    ad_tmax = jnp.full((B,), -1, jnp.int32)
-    s_ar_rev = jnp.zeros((B,), jnp.int32)
-    s_ra_rev = jnp.zeros((B,), jnp.int32)
+    # Derive the zero/constant carries from i so every while_loop carry
+    # shares the inputs' varying-axis type under shard_map (jax >= 0.9).
+    zb = i * 0
+    t = zb
+    matches = zb
+    rd_tmin = zb - 1
+    rd_tmax = zb - 1
+    ad_tmin = zb - 1
+    ad_tmax = zb - 1
+    s_ar_rev = zb
+    s_ra_rev = zb
 
     def cond(state):
         i, j = state[0], state[1]
@@ -479,6 +486,104 @@ def _fused_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx, g_idx,
     return gm[:n_groups], gl[:n_groups]
 
 
+# ---------------------------------------------------------------------------
+# Mesh-sharded twins of the fused gather launches.  The dedup'd tables are
+# replicated; the lane (index) axis shards over the mesh's data axis; the
+# per-lane forward+traceback is embarrassingly parallel, and the group-max
+# variant merges its per-shard segment maxima with lax.pmax — the collective
+# plan of SURVEY.md §2.3 (reference porechop.py:308-322's thread pool merge).
+# shard_map (not jit-auto-sharding) because the Pallas forward must be
+# partitioned manually.
+# ---------------------------------------------------------------------------
+
+def _mesh_axis(mesh):
+    return mesh.axis_names[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_gather_fn(mesh, wcols, match, mismatch, gap_open, gap_ext,
+                       mode):
+    ax = _mesh_axis(mesh)
+    from jax.sharding import PartitionSpec as P
+
+    def impl(wpk, wlens, amat, alens, w_idx, a_idx):
+        reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+        rl = jnp.take(wlens, w_idx)
+        adps = jnp.take(amat, a_idx, axis=0)
+        al = jnp.take(alens, a_idx)
+        fwd = _forward_mode(reads, rl, adps, al, match, mismatch, gap_open,
+                            gap_ext, mode)
+        bits, best_sc, cell_i, cell_j, vflag, hflag = fwd
+        walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
+        return walk, best_sc, cell_i, cell_j
+
+    sm = jax.shard_map(impl, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), P(ax), P(ax)),
+                       out_specs=(P(ax), P(ax), P(ax), P(ax)))
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_groupmax_fn(mesh, wcols, n_groups, match, mismatch, gap_open,
+                         gap_ext, mode):
+    ax = _mesh_axis(mesh)
+    from jax.sharding import PartitionSpec as P
+
+    def impl(wpk, wlens, amat, alens, w_idx, a_idx, g_idx):
+        reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+        rl = jnp.take(wlens, w_idx)
+        adps = jnp.take(amat, a_idx, axis=0)
+        al = jnp.take(alens, a_idx)
+        fwd = _forward_mode(reads, rl, adps, al, match, mismatch, gap_open,
+                            gap_ext, mode)
+        bits, best_sc, cell_i, cell_j, vflag, hflag = fwd
+        walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
+        matches, full_len, failed = _finish_stats_device(
+            walk, best_sc, cell_i, cell_j, rl, al)
+        ok = (~failed) & (full_len > 0)
+        key = jnp.where(ok, matches.astype(jnp.float32)
+                        / jnp.maximum(full_len, 1).astype(jnp.float32), -1.0)
+        seg = jnp.full((n_groups + 1,), -1.0, jnp.float32).at[g_idx].max(key)
+        seg = lax.pmax(seg, ax)                      # cross-shard merge
+        lane_best = ok & (key == seg[g_idx])
+        slot = jnp.where(lane_best, g_idx, n_groups)
+        gm = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
+            matches.astype(jnp.int32))
+        gl = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
+            full_len.astype(jnp.int32))
+        # Exact-fraction ties: the global max-matches lane is also the global
+        # max-full_len lane (l = m / key), so per-field pmax stays consistent.
+        gm = lax.pmax(gm, ax)
+        gl = lax.pmax(gl, ax)
+        return gm[:n_groups], gl[:n_groups]
+
+    sm = jax.shard_map(impl, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), P(ax), P(ax), P(ax)),
+                       out_specs=(P(), P()))
+    return jax.jit(sm)
+
+
+def _active_mesh(B):
+    """The mesh to shard a B-lane launch over, or None (single device or
+    non-divisible batch — the dispatcher's pow2 lane padding makes B
+    divisible for pow2 meshes)."""
+    from ..parallel import mesh as pmesh
+    m = pmesh.auto_mesh()
+    if m is not None and B % m.devices.size == 0:
+        return m
+    return None
+
+
+def put_replicated(x):
+    """device_put a (table) array replicated over the active mesh so chunk
+    launches don't re-transfer it; identity when no mesh is active."""
+    from ..parallel import mesh as pmesh
+    m = pmesh.auto_mesh()
+    if m is None:
+        return x
+    return jax.device_put(x, pmesh.replicated(m))
+
+
 def align_batch_gather_groupmax_async(wpk, wlens, amat, alens, w_idx, a_idx,
                                       g_idx, n_groups,
                                       scoring=(3, -6, -5, -2), wcols=None):
@@ -492,6 +597,21 @@ def align_batch_gather_groupmax_async(wpk, wlens, amat, alens, w_idx, a_idx,
     if wcols is None:
         wcols = 2 * wpk.shape[1]
     B = len(w_idx)
+    m = _active_mesh(B)
+    if m is not None:
+        from ..parallel import mesh as pmesh
+        sb = pmesh.batch_sharding(m)
+        rep = pmesh.replicated(m)
+        mode = _pallas_mode(B // m.devices.size, int(wcols), amat.shape[1])
+        fn = _sharded_groupmax_fn(m, int(wcols), int(n_groups), match,
+                                  mismatch, gap_open, gap_ext, mode)
+        return fn(jax.device_put(jnp.asarray(wpk, jnp.uint8), rep),
+                  jax.device_put(jnp.asarray(wlens, jnp.int32), rep),
+                  jax.device_put(jnp.asarray(amat, jnp.int8), rep),
+                  jax.device_put(jnp.asarray(alens, jnp.int32), rep),
+                  jax.device_put(jnp.asarray(w_idx, jnp.int32), sb),
+                  jax.device_put(jnp.asarray(a_idx, jnp.int32), sb),
+                  jax.device_put(jnp.asarray(g_idx, jnp.int32), sb))
     return _fused_gather_groupmax(
         jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
         jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
@@ -529,6 +649,22 @@ def align_batch_gather_async(wpk, wlens, amat, alens, w_idx, a_idx,
     if wcols is None:
         wcols = 2 * wpk.shape[1]
     B = len(w_idx)
+    m = _active_mesh(B)
+    if m is not None:
+        from ..parallel import mesh as pmesh
+        sb = pmesh.batch_sharding(m)
+        rep = pmesh.replicated(m)
+        mode = _pallas_mode(B // m.devices.size, int(wcols), amat.shape[1])
+        fn = _sharded_gather_fn(m, int(wcols), match, mismatch, gap_open,
+                                gap_ext, mode)
+        walk, best_sc, cell_i, cell_j = fn(
+            jax.device_put(jnp.asarray(wpk, jnp.uint8), rep),
+            jax.device_put(jnp.asarray(wlens, jnp.int32), rep),
+            jax.device_put(jnp.asarray(amat, jnp.int8), rep),
+            jax.device_put(jnp.asarray(alens, jnp.int32), rep),
+            jax.device_put(jnp.asarray(w_idx, jnp.int32), sb),
+            jax.device_put(jnp.asarray(a_idx, jnp.int32), sb))
+        return (walk, best_sc, cell_i, cell_j, rl_host, al_host)
     walk, best_sc, cell_i, cell_j = _fused_gather(
         jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
         jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
@@ -778,12 +914,34 @@ def _use_pallas() -> bool:
     return _use_pallas_cache
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_dense_fn(mesh, match, mismatch, gap_open, gap_ext, mode):
+    """shard_map twin of the dense forward+traceback: batch axis sharded,
+    no cross-device communication (every lane is independent).  The Pallas
+    forward partitions manually through shard_map (jit auto-sharding can't
+    split a pallas_call)."""
+    ax = _mesh_axis(mesh)
+    from jax.sharding import PartitionSpec as P
+
+    def impl(reads, rl, adps, al):
+        bits, best_sc, cell_i, cell_j, vflag, hflag = _forward_mode(
+            reads, rl, adps, al, match, mismatch, gap_open, gap_ext, mode)
+        walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
+        return walk, best_sc, cell_i, cell_j
+
+    sm = jax.shard_map(impl, mesh=mesh,
+                       in_specs=(P(ax), P(ax), P(ax), P(ax)),
+                       out_specs=(P(ax), P(ax), P(ax), P(ax)))
+    return jax.jit(sm)
+
+
 def align_batch(reads_pad, read_lens, adapters_pad, adapter_lens,
                 scoring=(3, -6, -5, -2)):
     """Same contract as engine_jax.align_batch.  When more than one device
     is visible the batch axis is sharded over a 1-D data mesh and the whole
     forward+traceback runs SPMD (every lane is independent, so there is no
-    cross-device communication)."""
+    cross-device communication); the Pallas forward is kept under the mesh
+    via shard_map."""
     assert supports(scoring)
     match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
     reads_d = jnp.asarray(reads_pad, jnp.int8)
@@ -791,26 +949,31 @@ def align_batch(reads_pad, read_lens, adapters_pad, adapter_lens,
     rl_d = jnp.asarray(read_lens, jnp.int32)
     al_d = jnp.asarray(adapter_lens, jnp.int32)
 
-    from ..parallel import mesh as pmesh
-    m = pmesh.auto_mesh()
-    if m is not None and reads_d.shape[0] % m.devices.size == 0:
-        reads_d, rl_d, adapters_d, al_d = pmesh.shard_batch_args(
-            m, reads_d, rl_d, adapters_d, al_d)
-
     B, L = reads_d.shape
     A = adapters_d.shape[1]
-    if m is None:
-        mode = _pallas_mode(B, L, A)
-        if mode:
-            from . import kernel_pallas
-            fwd_fn = (kernel_pallas.forward_pallas if mode == 1
-                      else kernel_pallas.forward_pallas_tiled)
-            bits, best_sc, cell_i, cell_j, vflag, hflag = fwd_fn(
-                reads_d, rl_d, adapters_d, al_d,
-                match, mismatch, gap_open, gap_ext)
-            walk = _traceback(bits, cell_i, cell_j, vflag, hflag)
-            return finish_v2(walk, best_sc, cell_i, cell_j,
-                             read_lens, adapter_lens)
+    m = _active_mesh(B)
+    if m is not None:
+        from ..parallel import mesh as pmesh
+        sb = pmesh.batch_sharding(m)
+        mode = _pallas_mode(B // m.devices.size, L, A)
+        fn = _sharded_dense_fn(m, match, mismatch, gap_open, gap_ext, mode)
+        walk, best_sc, cell_i, cell_j = fn(
+            jax.device_put(reads_d, sb), jax.device_put(rl_d, sb),
+            jax.device_put(adapters_d, sb), jax.device_put(al_d, sb))
+        return finish_v2(walk, best_sc, cell_i, cell_j,
+                         read_lens, adapter_lens)
+
+    mode = _pallas_mode(B, L, A)
+    if mode:
+        from . import kernel_pallas
+        fwd_fn = (kernel_pallas.forward_pallas if mode == 1
+                  else kernel_pallas.forward_pallas_tiled)
+        bits, best_sc, cell_i, cell_j, vflag, hflag = fwd_fn(
+            reads_d, rl_d, adapters_d, al_d,
+            match, mismatch, gap_open, gap_ext)
+        walk = _traceback(bits, cell_i, cell_j, vflag, hflag)
+        return finish_v2(walk, best_sc, cell_i, cell_j,
+                         read_lens, adapter_lens)
 
     bits, best_sc, cell_i, cell_j, vflag, hflag = _forward(
         reads_d, rl_d, adapters_d, al_d, match, mismatch, gap_open, gap_ext)

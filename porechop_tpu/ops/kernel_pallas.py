@@ -53,18 +53,54 @@ LANES = 32                 # minimum lane block (uint8 tile alignment)
 MAX_L1P = 1 << 14          # key-trick bound; larger buckets use the jnp path
 _JKEY = 1 << 14
 
-# Cap on LANES * L1p elements per block.  Bigger blocks mean fewer grid
-# steps (each step has fixed Mosaic dispatch cost, which dominates at short
-# window lengths: detection windows are 150 bp -> L1p=256, where 32-lane
-# blocks would mean ~50k tiny grid steps per launch).  The cap is set by
-# VMEM: the row computation keeps ~15 int32 temporaries of this size live
-# (the Mosaic register allocator spills them to scoped VMEM), so 2^19
-# elements ~= 30 MB of spill + 6 MB state + block buffers, safely under the
-# 100 MB limit.
+# int16 DP state STORAGE: the sentinel for -infinity.  Every REAL score
+# stays within R of zero (scores accumulate only along the <= A adapter
+# rows — see native/align_simd.cpp:11-16 for the same argument on the host
+# engine), so a floor this deep is never confused with a real value; the H
+# chain is clamped at it (exact: a clamped H still loses every comparison
+# it should lose, because its competitors are >= -R - |open| >> NEG16).
+# Arithmetic stays int32 (Mosaic has no packed-int16 rotates/reductions on
+# this toolchain); int16 is the at-rest format of the m/v/h VMEM scratch,
+# halving state bytes so wider lane blocks fit, and reads/adapter codes
+# store as int8 (codes 0..4).
+NEG16 = -8192
+
+# Cap on LANES * L1p int32-equivalent elements per block.  Bigger blocks
+# mean fewer grid steps (each step has fixed Mosaic dispatch cost, which
+# dominates at short window lengths: detection windows are 150 bp ->
+# L1p=256, where 32-lane blocks would mean ~50k tiny grid steps per launch).
+# The cap is set by VMEM: the row computation keeps ~15 temporaries of this
+# size live (the Mosaic register allocator spills them to scoped VMEM), so
+# 2^19 int32 elements ~= 30 MB of spill + 6 MB state + block buffers, safely
+# under the 100 MB limit.  int16 state halves every per-element byte, so the
+# element budget doubles.
 _BLOCK_ELEMS = 1 << 19
 
 
-def _lanes_for(B, L1p):
+def _score_range(match, mismatch, gap_ext, gap_open, A):
+    """Upper bound on |any tracked DP value|: paths have <= A adapter rows,
+    so diagonal/vertical chains contribute <= A*(max|sub| + |ext|) and at
+    most two opens matter along any compared pair."""
+    return (A * (max(abs(match), abs(mismatch)) + abs(gap_ext))
+            + 2 * abs(gap_open))
+
+
+def _sdt_for(match, mismatch, gap_open, gap_ext, A):
+    """Storage dtype election: int16 when real values stay well above the
+    NEG16 floor (so the H clamp is exact and every stored value fits).
+    Arithmetic is int32 either way; only the at-rest state narrows."""
+    R = _score_range(match, mismatch, gap_ext, gap_open, A)
+    if R + 2 * abs(gap_open) + abs(gap_ext) < -NEG16 - 64:
+        return jnp.int16, NEG16
+    return jnp.int32, NEG
+
+
+def _lanes_for(B, L1p, sdt=jnp.int32):
+    # The block budget is set by the ~15 spilled int32 TEMPORARIES, which
+    # don't narrow with the storage dtype — so no int16 bonus (measured:
+    # lane count is perf-neutral from 512 to 8192 at L1p=256 anyway, and
+    # 2x once blew the 100 MB scoped-VMEM limit).
+    del sdt
     lanes = max(32, _BLOCK_ELEMS // L1p)
     lanes = 1 << (lanes.bit_length() - 1)          # pow2 floor
     while lanes > 32 and B % lanes:
@@ -81,19 +117,22 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
                     vflag_ref, hflag_ref,
                     m_ref, v_ref, h_ref,
                     tsc_ref, ti_ref, tvf_ref, thf_ref,
-                    *, A, L1p, LANES, match, mismatch, gap_open, gap_ext):
+                    *, A, L1p, LANES, match, mismatch, gap_open, gap_ext,
+                    sdt, neg):
     """Grid program (b, i): DP row i+1 for lane block b.
 
-    reads_ref:    (LANES, L1p) int32 — read code at column j is read[j-1]
+    reads_ref:    (LANES, L1p) sdt — read code at column j is read[j-1]
                   (pre-shifted by one; col 0 and padding hold code 4).
     alens_ref:    (LANES, 1) int32 adapter lengths.
     rlens_ref:    (LANES, 1) int32 read lengths.
-    acode_ref:    (1, LANES, 1) int32 — this row's adapter code per lane
+    acode_ref:    (1, LANES, 1) sdt — this row's adapter code per lane
                   (blocked over the row grid axis; avoids unaligned dynamic
                   slices, which Mosaic rejects).
     bits_ref:     (1, LANES, L1p) uint8 — this row's trace bytes.
     best/celli/cellj/vflag/hflag: (LANES, 1) int32 outputs (final row only).
-    m/v/h_ref:    (LANES, L1p) int32 VMEM scratch (DP state, carried).
+    m/v/h_ref:    (LANES, L1p) sdt VMEM scratch (DP state, carried); sdt is
+                  int16 whenever _sdt_for proves the range fits (H clamped
+                  at `neg`, which is exact — see NEG16).
     tsc/ti/tvf/thf_ref: (LANES, 1) int32 VMEM scratch — the running
                   final-column scout candidate (score, row, V==M, H==M).
     """
@@ -104,33 +143,34 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     alen = alens_ref[:, 0][:, None]
     col_is_len = jcol == rlen
     col0 = jcol == 0
+    negs = jnp.int32(neg)
 
     @pl.when(i == 0)
     def _():
-        m_ref[:] = jnp.zeros((LANES, L1p), jnp.int32)
-        v_ref[:] = jnp.full((LANES, L1p), NEG, jnp.int32)
-        h_ref[:] = jnp.full((LANES, L1p), NEG, jnp.int32)
+        m_ref[:] = jnp.zeros((LANES, L1p), sdt)
+        v_ref[:] = jnp.full((LANES, L1p), neg, sdt)
+        h_ref[:] = jnp.full((LANES, L1p), neg, sdt)
         tsc_ref[:] = jnp.zeros((LANES, 1), jnp.int32)    # col best=M(0,len)=0
         ti_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
         tvf_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
         thf_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
 
-    m = m_ref[:]
-    v = v_ref[:]
-    a_code = acode_ref[0]                                # (LANES, 1)
+    m = m_ref[:].astype(jnp.int32)                       # int16 at rest,
+    v = v_ref[:].astype(jnp.int32)                       # int32 in flight
+    a_code = acode_ref[0].astype(jnp.int32)              # (LANES, 1)
 
     # V matrix.
     v_ext = v + gap_ext
     v_open = m + gap_open
     vbit = v_ext >= v_open
     nv = jnp.where(vbit, v_ext, v_open)
-    nv = jnp.where(col0, NEG, nv)
+    nv = jnp.where(col0, negs, nv)
 
     # Diagonal: d[j] = m[j-1] + sub[j]  (reads pre-shifted by one column).
-    eq = reads_ref[:] == a_code
+    eq = reads_ref[:].astype(jnp.int32) == a_code
     sub = jnp.where(eq, match, mismatch)
     m_shift = pltpu.roll(m, 1, 1)
-    d = jnp.where(col0, NEG, m_shift + sub)
+    d = jnp.where(col0, negs, m_shift + sub)
 
     pre = jnp.maximum(d, nv)
     pre = jnp.where(col0, 0, pre)
@@ -143,10 +183,11 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     for k in range(n_pass):            # static shifts — keep Mosaic happy
         sh = 1 << k
         rolled = pltpu.roll(cum, sh, 1)
-        rolled = jnp.where(jcol < sh, NEG, rolled)
+        rolled = jnp.where(jcol < sh, negs, rolled)
         cum = jnp.maximum(cum, rolled)
     cum_shift = pltpu.roll(cum, 1, 1)
-    nh = jnp.where(col0, NEG, cum_shift + jcol * gap_ext)
+    nh = jnp.where(col0, negs, cum_shift + jcol * gap_ext)
+    nh = jnp.maximum(nh, negs)         # storage floor (exact, see NEG16)
 
     nm = jnp.maximum(pre, nh)
     nm = jnp.where(col0, 0, nm)
@@ -165,14 +206,15 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
 
     # Freeze lanes whose adapter already ended.
     active = row <= alen                                 # (LANES, 1)
-    m_ref[:] = jnp.where(active, nm, m)
-    v_ref[:] = jnp.where(active, nv, v)
-    h_ref[:] = jnp.where(active, nh, h_ref[:])
+    m_ref[:] = jnp.where(active, nm, m).astype(sdt)
+    v_ref[:] = jnp.where(active, nv, v).astype(sdt)
+    h_ref[:] = jnp.where(active, nh,
+                         h_ref[:].astype(jnp.int32)).astype(sdt)
 
     # Final-column scout candidate via masked reductions (no gathers).
-    cand_m = jnp.max(jnp.where(col_is_len, nm, NEG), axis=1)     # (LANES,)
-    cand_v = jnp.max(jnp.where(col_is_len, nv, NEG), axis=1)
-    cand_h = jnp.max(jnp.where(col_is_len, nh, NEG), axis=1)
+    cand_m = jnp.max(jnp.where(col_is_len, nm, negs), axis=1)    # (LANES,)
+    cand_v = jnp.max(jnp.where(col_is_len, nv, negs), axis=1)
+    cand_h = jnp.max(jnp.where(col_is_len, nh, negs), axis=1)
     act1 = active[:, 0]
     better = act1 & (cand_m > tsc_ref[:, 0])
     uv = cand_v == cand_m
@@ -186,9 +228,9 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     # Scout election on the last row.
     @pl.when(i == A - 1)
     def _():
-        mf = m_ref[:]
-        vf = v_ref[:]
-        hf = h_ref[:]
+        mf = m_ref[:].astype(jnp.int32)
+        vf = v_ref[:].astype(jnp.int32)
+        hf = h_ref[:].astype(jnp.int32)
         valid = jcol < rlen
         key = jnp.where(valid, mf * _JKEY + (_JKEY - 1 - jcol),
                         jnp.int32(-2 ** 31) + 1)
@@ -196,8 +238,8 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
         row_sc = best_key >> 14                          # floor-div decode
         j_star = (_JKEY - 1) - (best_key - row_sc * _JKEY)
         sel = valid & (key == best_key[:, None])
-        row_v = jnp.max(jnp.where(sel, vf, NEG), axis=1)
-        row_h = jnp.max(jnp.where(sel, hf, NEG), axis=1)
+        row_v = jnp.max(jnp.where(sel, vf, negs), axis=1)
+        row_h = jnp.max(jnp.where(sel, hf, negs), axis=1)
         row_vf = row_v == row_sc
         row_hf = (~row_vf) & (row_h == row_sc)
 
@@ -225,11 +267,13 @@ def forward_pallas_impl(reads, read_lens, adapters, adapter_lens,
     A = adapters.shape[1]
     L1p = _round_up(L + 1, 128)
     assert L1p <= MAX_L1P, (L1p, 'bucket too large for the pallas kernel')
-    LANES = _lanes_for(B, L1p)
+    sdt, neg = _sdt_for(match, mismatch, gap_open, gap_ext, A)
+    LANES = _lanes_for(B, L1p, sdt)
     assert B % LANES == 0, (B, LANES)
 
-    # Pre-shift reads by one column: column j holds read[j-1].
-    reads32 = jnp.pad(reads.astype(jnp.int32), ((0, 0), (1, L1p - L - 1)),
+    # Pre-shift reads by one column: column j holds read[j-1].  Codes store
+    # as int8 (values 0..4) and widen on load.
+    reads_s = jnp.pad(reads.astype(jnp.int8), ((0, 0), (1, L1p - L - 1)),
                       constant_values=4)
     # Per-row adapter codes, blocked over the row grid axis: (A, B, 1).
     acodes = adapters.astype(jnp.int32).T[:, :, None]
@@ -238,7 +282,8 @@ def forward_pallas_impl(reads, read_lens, adapters, adapter_lens,
 
     kernel = functools.partial(
         _forward_kernel, A=A, L1p=L1p, LANES=LANES, match=match,
-        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        sdt=sdt, neg=neg)
 
     out_shapes = (
         jax.ShapeDtypeStruct((A, B, L1p), jnp.uint8),     # bits
@@ -271,21 +316,22 @@ def forward_pallas_impl(reads, read_lens, adapters, adapter_lens,
         ),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((LANES, L1p), jnp.int32),
-            pltpu.VMEM((LANES, L1p), jnp.int32),
-            pltpu.VMEM((LANES, L1p), jnp.int32),
+            pltpu.VMEM((LANES, L1p), sdt),
+            pltpu.VMEM((LANES, L1p), sdt),
+            pltpu.VMEM((LANES, L1p), sdt),
             pltpu.VMEM((LANES, 1), jnp.int32),
             pltpu.VMEM((LANES, 1), jnp.int32),
             pltpu.VMEM((LANES, 1), jnp.int32),
             pltpu.VMEM((LANES, 1), jnp.int32),
         ],
-        # The DP scratch is 3 int32 rows of L1p per lane block (~6.3 MB at
-        # the 16k cap) — over Mosaic's default 16 MB scoped-VMEM budget once
-        # block double-buffering is added, but far under the 128 MB chip
-        # VMEM.  Raise the cap; actual usage stays bounded by MAX_L1P.
+        # The DP scratch is 3 score-dtype rows of L1p per lane block (~6.3 MB
+        # at the 16k cap in int32) — over Mosaic's default 16 MB scoped-VMEM
+        # budget once block double-buffering is added, but far under the
+        # 128 MB chip VMEM.  Raise the cap; actual usage stays bounded by
+        # MAX_L1P.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(reads32, alens, rlens, acodes)
+    )(reads_s, alens, rlens, acodes)
     return (bits, best[:, 0], celli[:, 0], cellj[:, 0],
             vflag[:, 0] != 0, hflag[:, 0] != 0)
 
@@ -327,11 +373,14 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
                   cm_ref, ch_ref, cb_ref,
                   tsc_ref, ti_ref, tvf_ref, thf_ref,
                   rsc_ref, rj_ref, rvf_ref, rhf_ref,
-                  *, A, T, NT, LANES, match, mismatch, gap_open, gap_ext):
+                  *, A, T, NT, LANES, match, mismatch, gap_open, gap_ext,
+                  sdt, neg):
     """Grid program (b, tile, i): DP row i+1 over columns [tile*T, +T).
 
     cm/ch_ref: (LANES, 2*AP) int32 — tile-edge carries, parity-buffered
-               (slot p*AP + i); AP = A+1 rounded up to 128.
+               (slot p*AP + i); AP = A+1 rounded up to 128.  Values live in
+               the sdt range (H clamped at `neg`), so the int32<->sdt casts
+               at the edges are lossless.
     cb_ref:    (LANES, 2*AP) int32 — carried t=0 H_EXT bit.
     rsc/rj/rvf/rhf_ref: (LANES, 1) int32 — running last-row scout.
     Everything else matches _forward_kernel.
@@ -349,13 +398,14 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     col_is_len = jcol == rlen
     col0 = jcol == 0
     t0col = jloc == 0
+    negs = jnp.int32(neg)
     slot = lax.broadcasted_iota(jnp.int32, (LANES, 2 * AP), 1)
 
     @pl.when((tile == 0) & (i == 0))
     def _():
-        # Column-0 boundary: M(i, 0) = 0, H(i, 0) = NEG for every row.
+        # Column-0 boundary: M(i, 0) = 0, H(i, 0) = neg for every row.
         cm_ref[:] = jnp.zeros((LANES, 2 * AP), jnp.int32)
-        ch_ref[:] = jnp.full((LANES, 2 * AP), NEG, jnp.int32)
+        ch_ref[:] = jnp.full((LANES, 2 * AP), neg, jnp.int32)
         cb_ref[:] = jnp.zeros((LANES, 2 * AP), jnp.int32)
         tsc_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
         ti_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
@@ -368,32 +418,32 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
 
     @pl.when(i == 0)
     def _():
-        m_ref[:] = jnp.zeros((LANES, T), jnp.int32)     # row 0 of this tile
-        v_ref[:] = jnp.full((LANES, T), NEG, jnp.int32)
-        h_ref[:] = jnp.full((LANES, T), NEG, jnp.int32)
+        m_ref[:] = jnp.zeros((LANES, T), sdt)           # row 0 of this tile
+        v_ref[:] = jnp.full((LANES, T), neg, sdt)
+        h_ref[:] = jnp.full((LANES, T), neg, sdt)
 
     def carry_read(ref, idx):
         sel = slot == (p_old + idx)
         return jnp.max(jnp.where(sel, ref[:], jnp.int32(-2 ** 31)), axis=1)
 
-    m = m_ref[:]
-    v = v_ref[:]
-    a_code = acode_ref[0]                               # (LANES, 1)
+    m = m_ref[:].astype(jnp.int32)                      # int16 at rest,
+    v = v_ref[:].astype(jnp.int32)                      # int32 in flight
+    a_code = acode_ref[0].astype(jnp.int32)             # (LANES, 1)
 
     # V matrix.
     v_ext = v + gap_ext
     v_open = m + gap_open
     vbit = v_ext >= v_open
     nv = jnp.where(vbit, v_ext, v_open)
-    nv = jnp.where(col0, NEG, nv)
+    nv = jnp.where(col0, negs, nv)
 
     # Diagonal: within-tile shift; t=0 takes row i-1's previous-tile edge.
-    eq = reads_ref[:] == a_code
+    eq = reads_ref[:].astype(jnp.int32) == a_code
     sub = jnp.where(eq, match, mismatch)
     cm_im1 = carry_read(cm_ref, i)[:, None]             # M(i-1, c0-1)
     m_shift = pltpu.roll(m, 1, 1)
     d = jnp.where(t0col, cm_im1, m_shift) + sub
-    d = jnp.where(col0, NEG, d)
+    d = jnp.where(col0, negs, d)
 
     pre = jnp.maximum(d, nv)
     pre = jnp.where(col0, 0, pre)
@@ -407,12 +457,13 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     for k in range(n_pass):
         sh = 1 << k
         rolled = pltpu.roll(cum, sh, 1)
-        rolled = jnp.where(jloc < sh, NEG, rolled)
+        rolled = jnp.where(jloc < sh, negs, rolled)
         cum = jnp.maximum(cum, rolled)
     cum_shift = pltpu.roll(cum, 1, 1)
     body_h = jnp.maximum(cum_shift, ch_in) + jloc * gap_ext
     nh = jnp.where(t0col, ch_in, body_h)
-    nh = jnp.where(col0, NEG, nh)
+    nh = jnp.where(col0, negs, nh)
+    nh = jnp.maximum(nh, negs)         # storage floor (exact, see NEG16)
 
     nm = jnp.maximum(pre, nh)
     nm = jnp.where(col0, 0, nm)
@@ -436,10 +487,10 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     active = row <= alen
     m_out = jnp.where(active, nm, m)
     v_out = jnp.where(active, nv, v)
-    h_out = jnp.where(active, nh, h_ref[:])
-    m_ref[:] = m_out
-    v_ref[:] = v_out
-    h_ref[:] = h_out
+    h_out = jnp.where(active, nh, h_ref[:].astype(jnp.int32))
+    m_ref[:] = m_out.astype(sdt)
+    v_ref[:] = v_out.astype(sdt)
+    h_ref[:] = h_out.astype(sdt)
 
     # Carries for the next tile (stored values => frozen rows carry frozen
     # edges; their consumers are frozen too).
@@ -447,7 +498,8 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     h_last = h_out[:, T - 1]
     pre_last = jnp.where(active[:, 0], pre[:, T - 1],
                          m_last + 0)        # frozen: value unused downstream
-    ch_next = jnp.maximum(h_last + gap_ext, pre_last + gap_open)
+    ch_next = jnp.maximum(jnp.maximum(h_last + gap_ext,
+                                      pre_last + gap_open), neg)
     cb_next = (h_last + gap_ext >= m_last + gap_open).astype(jnp.int32)
     wsel = slot == (p_new + row)
     cm_ref[:] = jnp.where(wsel, m_last[:, None], cm_ref[:])
@@ -456,16 +508,16 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
 
     @pl.when(i == 0)
     def _():
-        # Row-0 edges for the next tile: M(0, j) = 0, H(0, j) = NEG.
+        # Row-0 edges for the next tile: M(0, j) = 0, H(0, j) = neg.
         wsel0 = slot == (p_new + 0)
         cm_ref[:] = jnp.where(wsel0, 0, cm_ref[:])
-        ch_ref[:] = jnp.where(wsel0, NEG, ch_ref[:])
+        ch_ref[:] = jnp.where(wsel0, neg, ch_ref[:])
         cb_ref[:] = jnp.where(wsel0, 0, cb_ref[:])
 
     # Final-column scout (lanes whose read ends inside this tile).
-    cand_m = jnp.max(jnp.where(col_is_len, nm, NEG), axis=1)
-    cand_v = jnp.max(jnp.where(col_is_len, nv, NEG), axis=1)
-    cand_h = jnp.max(jnp.where(col_is_len, nh, NEG), axis=1)
+    cand_m = jnp.max(jnp.where(col_is_len, nm, negs), axis=1)
+    cand_v = jnp.max(jnp.where(col_is_len, nv, negs), axis=1)
+    cand_h = jnp.max(jnp.where(col_is_len, nh, negs), axis=1)
     act1 = active[:, 0]
     better = act1 & (cand_m > tsc_ref[:, 0])
     uv = cand_v == cand_m
@@ -479,9 +531,9 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     # Last-row scout: fold this tile's leftmost max into the running one.
     @pl.when(i == A - 1)
     def _():
-        mf = m_ref[:]
-        vf_ = v_ref[:]
-        hf_ = h_ref[:]
+        mf = m_ref[:].astype(jnp.int32)
+        vf_ = v_ref[:].astype(jnp.int32)
+        hf_ = h_ref[:].astype(jnp.int32)
         valid = jcol < rlen
         key = jnp.where(valid, mf * _JKEY + (_JKEY - 1 - jloc),
                         jnp.int32(-2 ** 31) + 1)
@@ -489,8 +541,8 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
         t_sc = best_key >> 14
         t_loc = (_JKEY - 1) - (best_key - t_sc * _JKEY)
         sel = valid & (key == best_key[:, None])
-        t_v = jnp.max(jnp.where(sel, vf_, NEG), axis=1)
-        t_h = jnp.max(jnp.where(sel, hf_, NEG), axis=1)
+        t_v = jnp.max(jnp.where(sel, vf_, negs), axis=1)
+        t_h = jnp.max(jnp.where(sel, hf_, negs), axis=1)
         any_valid = jnp.any(valid, axis=1)
         better_r = any_valid & (t_sc > rsc_ref[:, 0])
         br2 = better_r[:, None]
@@ -527,11 +579,12 @@ def forward_pallas_tiled_impl(reads, read_lens, adapters, adapter_lens,
     T = TILE_T
     NT = (L + 1 + T - 1) // T
     L1p = NT * T
-    LANES = _lanes_for(B, T)
+    sdt, neg = _sdt_for(match, mismatch, gap_open, gap_ext, A)
+    LANES = _lanes_for(B, T, sdt)
     assert B % LANES == 0, (B, LANES)
     AP = _round_up(A + 1, 128)
 
-    reads32 = jnp.pad(reads.astype(jnp.int32), ((0, 0), (1, L1p - L - 1)),
+    reads_s = jnp.pad(reads.astype(jnp.int8), ((0, 0), (1, L1p - L - 1)),
                       constant_values=4)
     acodes = adapters.astype(jnp.int32).T[:, :, None]
     rlens = read_lens.astype(jnp.int32).reshape(B, 1)
@@ -539,7 +592,8 @@ def forward_pallas_tiled_impl(reads, read_lens, adapters, adapter_lens,
 
     kernel = functools.partial(
         _tiled_kernel, A=A, T=T, NT=NT, LANES=LANES, match=match,
-        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        sdt=sdt, neg=neg)
 
     out_shapes = (
         jax.ShapeDtypeStruct((A, B, L1p), jnp.uint8),
@@ -572,9 +626,9 @@ def forward_pallas_tiled_impl(reads, read_lens, adapters, adapter_lens,
         ),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((LANES, T), jnp.int32),
-            pltpu.VMEM((LANES, T), jnp.int32),
-            pltpu.VMEM((LANES, T), jnp.int32),
+            pltpu.VMEM((LANES, T), sdt),
+            pltpu.VMEM((LANES, T), sdt),
+            pltpu.VMEM((LANES, T), sdt),
             pltpu.VMEM((LANES, 2 * AP), jnp.int32),
             pltpu.VMEM((LANES, 2 * AP), jnp.int32),
             pltpu.VMEM((LANES, 2 * AP), jnp.int32),
@@ -589,7 +643,7 @@ def forward_pallas_tiled_impl(reads, read_lens, adapters, adapter_lens,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(reads32, alens, rlens, acodes)
+    )(reads_s, alens, rlens, acodes)
     return (bits, best[:, 0], celli[:, 0], cellj[:, 0],
             vflag[:, 0] != 0, hflag[:, 0] != 0)
 

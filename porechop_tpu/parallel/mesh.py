@@ -25,8 +25,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _jax_setup.configure()
 
-from ..ops import engine_jax
-
 DATA_AXIS = 'data'
 
 
@@ -85,108 +83,86 @@ def pad_batch_to_devices(n: int, n_devices: int) -> int:
     return ((n + n_devices - 1) // n_devices) * n_devices
 
 
+def _pad_lanes(n_pad, reads, read_lens, adapters, adapter_lens):
+    def pad(a, fill):
+        out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:len(a)] = a
+        return out
+    return (pad(np.asarray(reads), 4), pad(np.asarray(read_lens), 1),
+            pad(np.asarray(adapters), 4), pad(np.asarray(adapter_lens), 1))
+
+
 def sharded_align(mesh, reads, read_lens, adapters, adapter_lens,
                   scoring=(3, -6, -5, -2)):
-    """Run the alignment core with the batch sharded over the mesh.
-
-    All inputs are host numpy; the batch is padded to a multiple of the mesh
-    size (pad lanes have zero-length reads and resolve to failures).
-    Returns host numpy results, unpadded.
-    """
+    """Run the production (v2 bitmap) alignment engine with the batch
+    sharded over the mesh: shard_map'd forward + device traceback, host
+    finish.  All inputs are host numpy; the batch pads to a multiple of the
+    mesh size (1-bp pad lanes, cheap).  Returns host numpy, unpadded."""
+    from ..ops import engine_v2
     match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
     n = reads.shape[0]
     n_dev = mesh.devices.size
     n_pad = pad_batch_to_devices(n, n_dev)
-    if n_pad != n:
-        def pad(a, fill):
-            out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
-            out[:n] = a
-            return out
-        reads = pad(reads, 4)
-        read_lens = pad(read_lens, 1)       # length-1 pad lanes, cheap
-        adapters = pad(adapters, 4)
-        adapter_lens = pad(adapter_lens, 1)
+    reads, read_lens, adapters, adapter_lens = _pad_lanes(
+        n_pad, reads, read_lens, adapters, adapter_lens)
 
     sb = batch_sharding(mesh)
-    args = (jax.device_put(jnp.asarray(reads, jnp.int8), sb),
-            jax.device_put(jnp.asarray(read_lens, jnp.int32), sb),
-            jax.device_put(jnp.asarray(adapters, jnp.int8), sb),
-            jax.device_put(jnp.asarray(adapter_lens, jnp.int32), sb))
-    best_sc, best_st, cell_i, cell_j = engine_jax._align_core(
-        *args, match, mismatch, gap_open, gap_ext)
-    out = engine_jax.finish_batch(best_sc, best_st, cell_i, cell_j,
-                                  np.asarray(read_lens), np.asarray(adapter_lens))
+    B, L = reads.shape
+    A = adapters.shape[1]
+    mode = engine_v2._pallas_mode(B // n_dev, L, A)
+    fn = engine_v2._sharded_dense_fn(mesh, match, mismatch, gap_open,
+                                     gap_ext, mode)
+    walk, best_sc, cell_i, cell_j = fn(
+        jax.device_put(jnp.asarray(reads, jnp.int8), sb),
+        jax.device_put(jnp.asarray(read_lens, jnp.int32), sb),
+        jax.device_put(jnp.asarray(adapters, jnp.int8), sb),
+        jax.device_put(jnp.asarray(adapter_lens, jnp.int32), sb))
+    out = engine_v2.finish_v2(walk, best_sc, cell_i, cell_j,
+                              read_lens, adapter_lens)
     return {k: v[:n] for k, v in out.items()}
 
 
 def detection_step(mesh, reads, read_lens, adapters, adapter_lens,
                    set_ids, n_sets, scoring=(3, -6, -5, -2)):
-    """The full detection-phase device step: sharded batched alignment plus a
-    cross-shard per-adapter-set max reduction.
+    """The full detection-phase device step on the production (v2) engine:
+    sharded batched alignment plus the cross-shard per-adapter-set max
+    reduction (lax.pmax inside shard_map — the collective plan of SURVEY.md
+    §2.3, replacing the reference's shared-memory max race,
+    porechop/nanopore_read.py:159,164).
 
     set_ids: (B,) int32 mapping each lane to its adapter-set slot.  Returns
-    per-set (max_key, best_matches, best_full_len) host arrays; the segment
-    max over a sharded batch is the collective XLA inserts (an all-reduce
-    over ICI), mirroring the psum-merge described in SURVEY.md §2.3.
-    """
-    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    per-set (max_key, best_matches, best_full_len) host arrays."""
+    from ..ops import engine_v2
     n = reads.shape[0]
     n_dev = mesh.devices.size
     n_pad = pad_batch_to_devices(n, n_dev)
-    if n_pad != n:
-        def pad(a, fill):
-            out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
-            out[:n] = a
-            return out
-        reads = pad(reads, 4)
-        read_lens = pad(read_lens, 1)
-        adapters = pad(adapters, 4)
-        adapter_lens = pad(adapter_lens, 1)
-        set_ids = pad(np.asarray(set_ids, np.int32), n_sets)  # pad -> dummy set
+    reads, read_lens, adapters, adapter_lens = _pad_lanes(
+        n_pad, reads, read_lens, adapters, adapter_lens)
+    set_pad = np.full(n_pad, n_sets, np.int32)          # pad -> dummy set
+    set_pad[:n] = np.asarray(set_ids, np.int32)[:n]
 
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
     sb = batch_sharding(mesh)
-
-    @jax.jit
-    def step(reads, read_lens, adapters, adapter_lens, set_ids):
-        best_sc, best_st, cell_i, cell_j = engine_jax._align_core.__wrapped__(
-            reads, read_lens, adapters, adapter_lens,
-            match, mismatch, gap_open, gap_ext)
-        # full identity ~ matches / full_len; rank by the exact fraction via
-        # cross-multiplication to stay in integers on device.
-        matches, full_len = _full_stats(best_st, cell_i, cell_j,
-                                        read_lens, adapter_lens)
-        key = matches.astype(jnp.float32) / jnp.maximum(full_len, 1)
-        seg = jnp.full((n_sets + 1,), -1.0, jnp.float32)
-        seg = seg.at[set_ids].max(key)
-        lane_best = key == seg[set_ids]
-        best_m = jnp.zeros((n_sets + 1,), jnp.int32)
-        best_l = jnp.zeros((n_sets + 1,), jnp.int32)
-        best_m = best_m.at[jnp.where(lane_best, set_ids, n_sets)].max(
-            matches.astype(jnp.int32))
-        best_l = best_l.at[jnp.where(lane_best, set_ids, n_sets)].max(
-            full_len.astype(jnp.int32))
-        return seg[:n_sets], best_m[:n_sets], best_l[:n_sets]
-
-    args = (jax.device_put(jnp.asarray(reads, jnp.int8), sb),
-            jax.device_put(jnp.asarray(read_lens, jnp.int32), sb),
-            jax.device_put(jnp.asarray(adapters, jnp.int8), sb),
-            jax.device_put(jnp.asarray(adapter_lens, jnp.int32), sb),
-            jax.device_put(jnp.asarray(set_ids, jnp.int32), sb))
-    seg, best_m, best_l = step(*args)
-    return (np.asarray(seg), np.asarray(best_m), np.asarray(best_l))
-
-
-def _full_stats(best_st, cell_i, cell_j, read_lens, adapter_lens):
-    """Device-side fragment of finish_batch: (matches, full adapter span)."""
-    S_COLS, S_MATCH, S_FAC, S_LAC = (engine_jax.S_COLS, engine_jax.S_MATCH,
-                                     engine_jax.S_FAC, engine_jax.S_LAC)
-    cols = best_st[:, S_COLS]
-    fac = best_st[:, S_FAC]
-    lac = best_st[:, S_LAC]
-    matches = best_st[:, S_MATCH]
-    has_rtail = cell_j < read_lens
-    cols = cols + jnp.where(has_rtail, read_lens - cell_j, 0)
-    has_atail = cell_i < adapter_lens
-    fac = jnp.where(has_atail, jnp.minimum(fac, cols), fac)
-    lac = jnp.where(has_atail, cols + (adapter_lens - cell_i) - 1, lac)
-    return matches, lac - fac + 1
+    rep = replicated(mesh)
+    B, L = reads.shape
+    A = adapters.shape[1]
+    # Identity gather tables: the dense per-lane layout is the degenerate
+    # case of the dedup'd-table launch, so the one sharded group-max
+    # implementation serves both entry points.
+    wpk = engine_v2.pack_nibbles(reads)
+    mode = engine_v2._pallas_mode(B // n_dev, L, A)
+    fn = engine_v2._sharded_groupmax_fn(mesh, L, int(n_sets), match,
+                                        mismatch, gap_open, gap_ext, mode)
+    idx = np.arange(B, dtype=np.int32)
+    gm, gl = fn(jax.device_put(wpk, rep),
+                jax.device_put(jnp.asarray(read_lens, jnp.int32), rep),
+                jax.device_put(jnp.asarray(adapters, jnp.int8), rep),
+                jax.device_put(jnp.asarray(adapter_lens, jnp.int32), rep),
+                jax.device_put(jnp.asarray(idx), sb),
+                jax.device_put(jnp.asarray(idx), sb),
+                jax.device_put(jnp.asarray(set_pad), sb))
+    gm = np.asarray(gm).astype(np.int64)
+    gl = np.asarray(gl).astype(np.int64)
+    seg = np.where(gl > 0, gm / np.maximum(gl, 1), -1.0).astype(np.float32)
+    seg[(gm == 0) & (gl == 0)] = -1.0
+    return seg, gm.astype(np.int32), gl.astype(np.int32)

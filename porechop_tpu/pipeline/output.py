@@ -12,9 +12,43 @@ from collections import defaultdict
 from ..utils.text import bold_underline, int_to_str, print_table
 
 
+def resolve_format(out_format, output, read_type, barcode_dir,
+                   input_filename):
+    """The reference's output-format election (porechop.py:624-638):
+    explicit --format, else output-filename substrings, else input type."""
+    if out_format != 'auto':
+        return out_format
+    if output is None:
+        out_format = read_type.lower()
+        if barcode_dir is not None and input_filename.lower().endswith('.gz'):
+            out_format += '.gz'
+        return out_format
+    if '.fasta.gz' in output.lower():
+        return 'fasta.gz'
+    if '.fastq.gz' in output.lower():
+        return 'fastq.gz'
+    if '.fasta' in output.lower():
+        return 'fasta'
+    if '.fastq' in output.lower():
+        return 'fastq'
+    return read_type.lower()
+
+
+def gzip_command_for(threads, verbosity, print_dest=None):
+    """pigz -p N when available, else gzip (porechop.py:645-651)."""
+    if shutil.which('pigz'):
+        if verbosity > 0:
+            print('pigz found - using it to compress instead of gzip')
+        return 'pigz -p ' + str(threads)
+    if verbosity > 0:
+        print('pigz not found - using gzip to compress')
+    return 'gzip'
+
+
 def output_reads(reads, out_format, output, read_type, verbosity,
                  discard_middle, min_split_size, print_dest, barcode_dir,
-                 input_filename, untrimmed, threads, discard_unassigned):
+                 input_filename, untrimmed, threads, discard_unassigned,
+                 return_counts=False):
     if verbosity > 0:
         trimmed_or_untrimmed = 'untrimmed' if untrimmed else 'trimmed'
         if barcode_dir is not None:
@@ -26,21 +60,8 @@ def output_reads(reads, out_format, output, read_type, verbosity,
         print(bold_underline(verb + trimmed_or_untrimmed + ' reads to '
                              + destination), flush=True, file=print_dest)
 
-    if out_format == 'auto':
-        if output is None:
-            out_format = read_type.lower()
-            if barcode_dir is not None and input_filename.lower().endswith('.gz'):
-                out_format += '.gz'
-        elif '.fasta.gz' in output.lower():
-            out_format = 'fasta.gz'
-        elif '.fastq.gz' in output.lower():
-            out_format = 'fastq.gz'
-        elif '.fasta' in output.lower():
-            out_format = 'fasta'
-        elif '.fastq' in output.lower():
-            out_format = 'fastq'
-        else:
-            out_format = read_type.lower()
+    out_format = resolve_format(out_format, output, read_type, barcode_dir,
+                                input_filename)
 
     gzipped_out = False
     gzip_command = 'gzip'
@@ -48,18 +69,15 @@ def output_reads(reads, out_format, output, read_type, verbosity,
                                        or output is not None):
         gzipped_out = True
         out_format = out_format[:-3]
-        if shutil.which('pigz'):
-            if verbosity > 0:
-                print('pigz found - using it to compress instead of gzip')
-            gzip_command = 'pigz -p ' + str(threads)
-        else:
-            if verbosity > 0:
-                print('pigz not found - using gzip to compress')
+        gzip_command = gzip_command_for(threads, verbosity, print_dest)
 
     if barcode_dir is not None:
-        _output_to_bins(reads, out_format, verbosity, discard_middle,
-                        min_split_size, print_dest, barcode_dir, untrimmed,
-                        gzipped_out, gzip_command, discard_unassigned)
+        counts = _output_to_bins(reads, out_format, verbosity, discard_middle,
+                                 min_split_size, print_dest, barcode_dir,
+                                 untrimmed, gzipped_out, gzip_command,
+                                 discard_unassigned)
+        if return_counts:
+            return counts
     elif output is None:
         for read in reads:
             read_str = (read.get_fasta(min_split_size, discard_middle)
@@ -146,3 +164,6 @@ def _output_to_bins(reads, out_format, verbosity, discard_middle,
         print('')
         print_table(table, print_dest, alignments='LRRL', max_col_width=60,
                     col_separation=2)
+    # For the multi-host merge (parallel/multihost.py).
+    return {name: (barcode_read_counts[name], barcode_base_counts[name])
+            for name in barcode_files}

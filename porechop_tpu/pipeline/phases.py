@@ -95,7 +95,12 @@ def get_albacore_barcode_from_path(albacore_path):
 
 def find_matching_adapter_sets(check_reads, verbosity, end_size,
                                scoring_scheme_vals, print_dest,
-                               adapter_threshold, threads):
+                               adapter_threshold, threads,
+                               stats_merge=None):
+    """stats_merge: optional (gm, gl) -> (gm, gl) hook that merges the
+    per-(set, side) best (matches, full_len) stats across processes — the
+    multi-host collective (parallel/multihost.py).  Every process must call
+    with the same adapter DB so the entry order matches."""
     read_count = len(check_reads)
     if verbosity > 0:
         print(bold_underline('Looking for known adapter sets'), flush=True,
@@ -129,21 +134,30 @@ def find_matching_adapter_sets(check_reads, verbosity, end_size,
                 adapter_seqs.append(spec.encode(seq))
             entries.append((si, side, adapter_idx[seq]))
 
-    if entries and read_count:
-        R = read_count
-        base = 2 * np.arange(R, dtype=np.int64)
-        pairs = np.empty((len(entries) * R, 2), dtype=np.int64)
-        for e, (si, side, ai) in enumerate(entries):
-            pairs[e * R:(e + 1) * R, 0] = base + (0 if side == 'start' else 1)
-            pairs[e * R:(e + 1) * R, 1] = ai
-        # Group-reduced execution: per (set, side) only the best identity
-        # leaves the device — the per-pair results are never materialized
-        # host-side (reference semantics: max over check reads of the full
-        # adapter %id, nanopore_read.py:155-164).
-        gids = np.repeat(np.arange(len(entries), dtype=np.int64), R)
-        res = AlignJobs(windows, adapter_seqs, pairs,
-                        scoring_scheme_vals).run_group_max(gids, len(entries))
-        best = res['full_pct']
+    if entries:
+        gm = np.zeros(len(entries), dtype=np.int64)
+        gl = np.ones(len(entries), dtype=np.int64)
+        if read_count:
+            R = read_count
+            base = 2 * np.arange(R, dtype=np.int64)
+            pairs = np.empty((len(entries) * R, 2), dtype=np.int64)
+            for e, (si, side, ai) in enumerate(entries):
+                pairs[e * R:(e + 1) * R, 0] = (base
+                                               + (0 if side == 'start' else 1))
+                pairs[e * R:(e + 1) * R, 1] = ai
+            # Group-reduced execution: per (set, side) only the best identity
+            # leaves the device — the per-pair results are never materialized
+            # host-side (reference semantics: max over check reads of the
+            # full adapter %id, nanopore_read.py:155-164).
+            gids = np.repeat(np.arange(len(entries), dtype=np.int64), R)
+            res = AlignJobs(windows, adapter_seqs, pairs,
+                            scoring_scheme_vals).run_group_max(gids,
+                                                               len(entries))
+            gm, gl = res['matches'], res['full_len']
+        if stats_merge is not None:
+            gm, gl = stats_merge(gm, gl)
+        from ..ops.dispatch import seqan_pct_vec
+        best = seqan_pct_vec(gm, np.maximum(gl, 1))
         for e, (si, side, ai) in enumerate(entries):
             aset = search_adapters[si]
             if side == 'start':

@@ -324,6 +324,47 @@ def test_format_explicit_overrides_extension():
     check_parity(['-o', 'out.fastq', '--format', 'fasta'], 'test_format.fastq')
 
 
+def test_format_explicit_gz_overrides_extension():
+    """Conflicting-extension cases where the explicit flag wins (reference
+    test/test_format.py:126-142), including gz formats."""
+    check_parity(['-o', 'out.fasta.gz', '--format', 'fastq'],
+                 'test_format.fastq.gz')
+    check_parity(['-o', 'out.fastq', '--format', 'fasta.gz'],
+                 'test_format.fastq')
+    check_parity(['-o', 'out.fastq.gz', '--format', 'fasta.gz'],
+                 'test_format.fasta')
+
+
+def test_format_barcodes_auto_matrix():
+    """Barcode-bin output across the input-format matrix with --format auto
+    (reference test/test_format.py:169-187): bins inherit the input type,
+    including the gz-bin compression branch (porechop.py:679-704)."""
+    for fixture in ('test_format_barcodes.fastq', 'test_format_barcodes.fasta',
+                    'test_format_barcodes.fastq.gz',
+                    'test_format_barcodes.fasta.gz'):
+        check_parity(['-b', 'bins'], fixture)
+
+
+def test_format_barcodes_explicit_matrix():
+    """Explicit --format with -b (reference test/test_format.py:189-242):
+    the flag wins over both the input type and any extension."""
+    for fixture, fmt in (
+            ('test_format_barcodes.fastq', 'fastq.gz'),
+            ('test_format_barcodes.fastq.gz', 'fastq'),
+            ('test_format_barcodes.fastq', 'fasta'),
+            ('test_format_barcodes.fastq', 'fasta.gz'),
+            ('test_format_barcodes.fasta.gz', 'fasta'),
+            ('test_format_barcodes.fasta', 'fasta.gz')):
+        check_parity(['-b', 'bins', '--format', fmt], fixture)
+
+
+def test_format_barcodes_gz_bins_with_counts_table():
+    """The gz-bin branch with the counts table visible (-v 1): the table
+    must name the .gz files and the bins must decompress identically
+    (porechop.py:679-704)."""
+    check_parity(['-b', 'bins', '-v', '1'], 'test_format_barcodes.fastq.gz')
+
+
 # ---- custom scoring schemes (exercise the host-engine fallbacks) ----
 
 def test_custom_scoring_schemes():
