@@ -133,13 +133,24 @@ def _run_pipeline(args):
 
 
 def _run_streaming_pipeline(args, chunk_size, stream_mod):
-    """Bounded-memory path (PORECHOP_TPU_STREAM=<chunk>, -v 0 only):
+    """Bounded-memory path (--stream <chunk> or PORECHOP_TPU_STREAM, -v 0/1):
     detection on the --check_reads head, then chunked phases 2+3 + output.
-    Byte-identical to the default path at verbosity 0."""
+    Byte-identical to the default path (v1 totals come from a cheap
+    record-counting pre-pass)."""
     from .pipeline.model import Read
     from .utils.fastx import get_sequence_file_type
+    from .utils.text import bold_underline, int_to_str
 
     read_type = get_sequence_file_type(args.input)
+    total_reads = None
+    if args.verbosity > 0:
+        print('\n' + bold_underline('Loading reads'), flush=True,
+              file=args.print_dest)
+        print(args.input, flush=True, file=args.print_dest)
+        total_reads = stream_mod.count_records(args.input)
+        print(int_to_str(total_reads) + ' reads loaded\n\n', flush=True,
+              file=args.print_dest)
+
     check_reads = []
     for name, seq, quals in stream_mod._iter_records(args.input):
         check_reads.append(Read(name, seq, quals or ''))
@@ -159,10 +170,14 @@ def _run_streaming_pipeline(args, chunk_size, stream_mod):
                                                            args.print_dest)
     else:
         forward_or_reverse_barcodes = None
+    display_adapter_set_results(matching_sets, args.verbosity,
+                                args.print_dest)
     matching_sets = add_full_barcode_adapter_sets(matching_sets)
+    if args.verbosity > 0:
+        print('\n', file=args.print_dest)
     stream_mod.run_streaming(args, matching_sets,
                              forward_or_reverse_barcodes, read_type,
-                             chunk_size)
+                             chunk_size, total_reads=total_reads)
 
 
 def get_arguments(argv=None):
@@ -268,6 +283,12 @@ def get_arguments(argv=None):
     middle_trim_group.add_argument('--min_split_read_size', type=int, default=1000,
                                    help='Post-split read pieces smaller than this many base pairs '
                                         'will not be outputted')
+
+    # Hidden (help-suppressed, to keep --help byte-parity with the
+    # reference): bounded-memory streaming with this many reads per chunk.
+    # Equivalent to PORECHOP_TPU_STREAM=<n>.  See pipeline/stream.py.
+    main_group.add_argument('--stream', type=int, default=None,
+                            help=argparse.SUPPRESS)
 
     help_args = parser.add_argument_group('Help')
     help_args.add_argument('-h', '--help', action='help', default=argparse.SUPPRESS,

@@ -266,20 +266,7 @@ def find_adapters_at_read_ends(reads, matching_sets, verbosity, end_size,
                                barcode_diff, require_two_barcodes,
                                forward_or_reverse_barcodes):
     if verbosity > 0:
-        print(bold_underline('Trimming adapters from read ends'),
-              file=print_dest)
-        name_len = max(max(len(x.start_sequence[0])
-                           if x.start_sequence else 0 for x in matching_sets),
-                       max(len(x.end_sequence[0])
-                           if x.end_sequence else 0 for x in matching_sets))
-        for mset in matching_sets:
-            if mset.start_sequence:
-                print('  ' + mset.start_sequence[0].rjust(name_len) + ': '
-                      + red(mset.start_sequence[1]), file=print_dest)
-            if mset.end_sequence:
-                print('  ' + mset.end_sequence[0].rjust(name_len) + ': '
-                      + red(mset.end_sequence[1]), file=print_dest)
-        print('', file=print_dest)
+        print_end_trim_header(matching_sets, print_dest)
 
     read_count = len(reads)
     if verbosity == 1:
@@ -366,6 +353,25 @@ def find_adapters_at_read_ends(reads, matching_sets, verbosity, end_size,
         print('', file=print_dest)
 
 
+def print_end_trim_header(matching_sets, print_dest):
+    """The phase-2 banner + red adapter list (porechop.py:441-457 era text);
+    shared with the streaming runner."""
+    print(bold_underline('Trimming adapters from read ends'),
+          file=print_dest)
+    name_len = max(max(len(x.start_sequence[0])
+                       if x.start_sequence else 0 for x in matching_sets),
+                   max(len(x.end_sequence[0])
+                       if x.end_sequence else 0 for x in matching_sets))
+    for mset in matching_sets:
+        if mset.start_sequence:
+            print('  ' + mset.start_sequence[0].rjust(name_len) + ': '
+                  + red(mset.start_sequence[1]), file=print_dest)
+        if mset.end_sequence:
+            print('  ' + mset.end_sequence[0].rjust(name_len) + ': '
+                  + red(mset.end_sequence[1]), file=print_dest)
+    print('', file=print_dest)
+
+
 def display_read_end_trimming_summary(reads, verbosity, print_dest):
     if verbosity < 1:
         return
@@ -373,14 +379,22 @@ def display_read_end_trimming_summary(reads, verbosity, print_dest):
     start_trim_count = sum(1 if x.start_trim_amount else 0 for x in reads)
     end_trim_count = sum(1 if x.end_trim_amount else 0 for x in reads)
     end_trim_total = sum(x.end_trim_amount for x in reads)
-    print(int_to_str(start_trim_count).rjust(len(int_to_str(len(reads))))
-          + ' / ' + int_to_str(len(reads))
+    end_trim_summary_counts(len(reads), start_trim_count, start_trim_total,
+                            end_trim_count, end_trim_total, print_dest)
+
+
+def end_trim_summary_counts(n_reads, start_count, start_total, end_count,
+                            end_total, print_dest):
+    """Counter-based twin of display_read_end_trimming_summary (streaming
+    accumulates across chunks)."""
+    print(int_to_str(start_count).rjust(len(int_to_str(n_reads)))
+          + ' / ' + int_to_str(n_reads)
           + ' reads had adapters trimmed from their start ('
-          + int_to_str(start_trim_total) + ' bp removed)', file=print_dest)
-    print(int_to_str(end_trim_count).rjust(len(int_to_str(len(reads))))
-          + ' / ' + int_to_str(len(reads))
+          + int_to_str(start_total) + ' bp removed)', file=print_dest)
+    print(int_to_str(end_count).rjust(len(int_to_str(n_reads)))
+          + ' / ' + int_to_str(n_reads)
           + ' reads had adapters trimmed from their end ('
-          + int_to_str(end_trim_total) + ' bp removed)', file=print_dest)
+          + int_to_str(end_total) + ' bp removed)', file=print_dest)
     print('\n', file=print_dest)
 
 
@@ -516,8 +530,14 @@ def display_read_middle_trimming_summary(reads, discard_middle, verbosity,
     if verbosity < 1:
         return
     middle_trim_count = sum(1 if x.middle_adapter_ranges else 0 for x in reads)
+    middle_summary_counts(middle_trim_count, len(reads), discard_middle,
+                          print_dest)
+
+
+def middle_summary_counts(middle_trim_count, n_reads, discard_middle,
+                          print_dest):
     verb = 'discarded' if discard_middle else 'split'
-    print(int_to_str(middle_trim_count) + ' / ' + int_to_str(len(reads))
+    print(int_to_str(middle_trim_count) + ' / ' + int_to_str(n_reads)
           + ' reads were ' + verb + ' based on middle adapters\n\n',
           file=print_dest)
 
