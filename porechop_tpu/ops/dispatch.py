@@ -320,6 +320,21 @@ class AlignJobs:
         import jax.numpy as jnp
 
         from . import engine_v2
+        # A rung table built before this chunk joined the rung (the native-
+        # failure push-back path appends chunks late) may not cover this
+        # chunk's windows/adapters: its map sends unknown rows to the dummy
+        # lane, which would return silently wrong alignments.  Rebuild from
+        # the (updated) rung job lists when coverage is incomplete.
+        if lb in tables['w']:
+            wmap = tables['w'][lb][2]
+            dummy_row = tables['w'][lb][0].shape[0] - 1
+            if (wmap[self.pairs[chunk, 0]] >= dummy_row).any():
+                del tables['w'][lb]
+        if amax in tables['a']:
+            amap = tables['a'][amax][2]
+            dummy_row = tables['a'][amax][0].shape[0] - 1
+            if (amap[self.pairs[chunk, 1]] >= dummy_row).any():
+                del tables['a'][amax]
         if lb not in tables['w']:
             # All windows of this rung (across adapter rungs): one upload.
             uw = np.unique(self.pairs[np.concatenate(rung_w[lb]), 0])

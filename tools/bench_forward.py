@@ -3,6 +3,13 @@
 
 Times the forward alone at bench-workload-like shapes and cross-checks a
 small case against the jnp forward.  Usage: python tools/bench_forward.py
+
+Timing methodology: on tunneled (axon) backends `block_until_ready` returns
+before the computation actually finishes, and the tunnel memoizes identical
+(computation, input) pairs — so each timed iteration uses FRESH random
+inputs (settled with a scalar fetch before the clock starts) and forces
+completion by fetching a scalar reduction of the outputs.  Round-2 numbers
+recorded without this (commit 264f) overstated the kernel rate.
 """
 import os
 import sys
@@ -22,23 +29,30 @@ def main():
     print('backend:', jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
 
+    def mk(B, L, A):
+        return (jnp.asarray(rng.integers(0, 4, (B, L)), jnp.int8),
+                jnp.asarray(np.full(B, L), jnp.int32),
+                jnp.asarray(rng.integers(0, 4, (B, A)), jnp.int8),
+                jnp.asarray(np.full(B, A), jnp.int32))
+
     def run(fn, B, L, A, label, repeats=3):
-        reads = jnp.asarray(rng.integers(0, 4, (B, L)), jnp.int8)
-        rl = jnp.asarray(np.full(B, L), jnp.int32)
-        adps = jnp.asarray(rng.integers(0, 4, (B, A)), jnp.int8)
-        al = jnp.asarray(np.full(B, A), jnp.int32)
-        out = fn(reads, rl, adps, al, 3, -6, -5, -2)
-        jax.block_until_ready(out)
+        # Reduce outputs to one scalar on device so the timed fetch is tiny;
+        # the fetch (np.asarray) is what actually waits for the kernel.
+        fsum = jax.jit(lambda r, rl, a, al: sum(
+            x.astype(jnp.int32).sum()
+            for x in fn(r, rl, a, al, 3, -6, -5, -2)))
+        args = mk(B, L, A)
+        np.asarray(fsum(*args))            # compile + warm
         best = float('inf')
         for _ in range(repeats):
+            args = mk(B, L, A)             # fresh inputs defeat memoization
+            float(np.asarray(args[0][0, 0]))   # settle uploads
             t0 = time.perf_counter()
-            out = fn(reads, rl, adps, al, 3, -6, -5, -2)
-            jax.block_until_ready(out)
+            np.asarray(fsum(*args))
             best = min(best, time.perf_counter() - t0)
         cells = B * (L + 1) * A
         print('%-28s B=%-6d L=%-6d A=%-3d  %.4fs  %.3e cells/s'
               % (label, B, L, A, best, cells / best), flush=True)
-        return out
 
     # Correctness cross-check on-chip (small).
     reads = jnp.asarray(rng.integers(0, 5, (64, 300)), jnp.int8)
