@@ -224,6 +224,7 @@ class AlignJobs:
         uniq, inv = np.unique(keys, axis=0, return_inverse=True)
         buckets = {(int(u[0]), int(u[1])): todo[inv == g]
                    for g, u in enumerate(uniq)}
+        self._merge_adapter_rungs(buckets)
 
         small = []        # chunks routed to the native host engine
         small_meta = []   # matching (lb, amax, chunk) for device push-back
@@ -304,6 +305,41 @@ class AlignJobs:
                   file=sys.stderr, flush=True)
         return self._package(out)
 
+    # Padded-cell cost below which merging a device-bound adapter-rung
+    # bucket into a wider rung is worth one saved launch: a serialized
+    # ~30 ms tunnel round trip equals ~1.2e8 cells at the measured
+    # detection-shape kernel rate, and every merged rung is one fewer
+    # XLA shape to compile (minutes each through the remote-compile
+    # helper on cold caches).
+    _MERGE_CELLS_PER_LAUNCH = int(os.environ.get(
+        'PORECHOP_TPU_MERGE_CELLS', 120_000_000))
+
+    def _merge_adapter_rungs(self, buckets) -> None:
+        """Merges same-window-rung buckets whose adapter rungs differ into
+        the widest rung among them, when all of them would launch on the
+        device anyway and the extra adapter padding costs less than the
+        launches saved.  Padding an adapter beyond its length is free
+        correctness-wise (rows past adapter_len are frozen by the engines);
+        this trades bounded pad cells for fewer serialized launches."""
+        by_lb = {}
+        for (lb, amax), idxs in buckets.items():
+            by_lb.setdefault(lb, []).append((amax, idxs))
+        for lb, lst in by_lb.items():
+            cand = [(amax, idxs) for amax, idxs in lst
+                    if _bucket_lanes(len(idxs)) * (lb + 1) * amax
+                    >= _HYBRID_CELLS]
+            if len(cand) < 2:
+                continue
+            target = max(amax for amax, _ in cand)
+            extra = sum(_bucket_lanes(len(idxs)) * (lb + 1) * (target - amax)
+                        for amax, idxs in cand if amax != target)
+            if extra >= (len(cand) - 1) * self._MERGE_CELLS_PER_LAUNCH:
+                continue
+            merged = np.concatenate([idxs for _, idxs in cand])
+            for amax, _ in cand:
+                del buckets[(lb, amax)]
+            buckets[(lb, target)] = np.sort(merged)
+
     @staticmethod
     def _gather_capable() -> bool:
         return os.environ.get('PORECHOP_TPU_ENGINE', 'v2') != 'v1'
@@ -337,7 +373,12 @@ class AlignJobs:
                 del tables['a'][amax]
         if lb not in tables['w']:
             # All windows of this rung (across adapter rungs): one upload.
-            uw = np.unique(self.pairs[np.concatenate(rung_w[lb]), 0])
+            # Mask-based unique: indices are bounded by the table length, so
+            # this is O(n) where np.unique's argsort cost ~80 ms at
+            # detection scale (120k pairs).
+            seen = np.zeros(len(self.windows), dtype=bool)
+            seen[self.pairs[np.concatenate(rung_w[lb]), 0]] = True
+            uw = np.nonzero(seen)[0]
             wmat = np.full((len(uw) + 1, lb), 4, dtype=np.int8)
             wlen = np.ones(len(uw) + 1, dtype=np.int32)
             for r, k in enumerate(uw):
@@ -351,7 +392,9 @@ class AlignJobs:
                 engine_v2.put_replicated(jnp.asarray(wlen)),
                 wmap, wmat.shape[1])
         if amax not in tables['a']:
-            ua = np.unique(self.pairs[np.concatenate(rung_a[amax]), 1])
+            seen = np.zeros(len(self.adapters), dtype=bool)
+            seen[self.pairs[np.concatenate(rung_a[amax]), 1]] = True
+            ua = np.nonzero(seen)[0]
             amat = np.full((len(ua) + 1, amax), 4, dtype=np.int8)
             alen = np.ones(len(ua) + 1, dtype=np.int32)
             for r, k in enumerate(ua):
