@@ -12,16 +12,30 @@ purely per-block, and each process writes its block to a part file that
 rank 0 concatenates in rank order, making the merged bytes identical to a
 single-process run over the same reads.
 
+Input I/O is partitioned (SURVEY §2.3 "per-host input file partitioning",
+reference porechop.py:224-283): every rank runs a cheap record-counting
+scan, then parses and materializes ONLY its own record block (plus its
+slice of the --check_reads sample head), so N hosts hold 1/N of the reads
+each and decode 1/N of the records into objects.
+
+Verbosity contract: at -v 1, rank 0 prints the full reference transcript
+from globally-aggregated counters (progress totals, trim summaries, bin
+tables — all v1 text is a pure function of those), byte-identical to a
+single-process -v 1 run except the rank-local wall-clock of course.  At
+-v >= 2 the per-read dumps would need cross-rank interleaving; they stay
+shard-local on rank 0 (ranks > 0 silent) — use -v 1 or a single process
+for full dumps.
+
 Activation: set PORECHOP_TPU_COORDINATOR=host:port, PORECHOP_TPU_NUM_PROCS
 and PORECHOP_TPU_PROC_ID (see mesh.init_distributed) on every process and
-run the same CLI command.  Progress text reflects each rank's own shard, so
--v 0 is recommended for byte-stable stderr/stdout.
+run the same CLI command.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 from collections import defaultdict
@@ -31,12 +45,42 @@ import numpy as np
 
 def maybe_init():
     """Initializes jax.distributed from the PORECHOP_TPU_* env (no-op when
-    unset) and returns True when running multi-process."""
+    unset) and returns True when running multi-process.
+
+    On CPU backends the gloo collectives layer prints '[Gloo] ...'
+    connection banners straight to fd 1 the first time each communicator
+    connects — unbuffered C++ writes that would interleave mid-line with
+    the rank-0 transcript (or, worse, with read data in stdout-output
+    mode).  So: (a) ranks > 0 get fd 1 hard-silenced here — no rank but 0
+    ever legitimately writes to stdout (parts go through files and rank 0
+    merges), and (b) every collective shape the pipeline uses is warmed up
+    once, immediately, so rank 0's banners all land before any output."""
     if not os.environ.get('PORECHOP_TPU_COORDINATOR'):
         return False
     from . import mesh
     mesh.init_distributed()
-    return enabled()
+    if not enabled():
+        return False
+    if rank() > 0:
+        devnull_fd = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull_fd, 1)
+        os.close(devnull_fd)
+    # Warm-up: one allgather (detection merge / totals), one barrier
+    # (part-file syncs), and one global-mesh pmax (the sharded engine's
+    # detection collective) — all the communicator shapes used later.
+    from jax.experimental import multihost_utils
+    multihost_utils.process_allgather(np.zeros(1, np.int64))
+    multihost_utils.sync_global_devices('porechop-tpu-warmup')
+    m = mesh.auto_mesh()
+    if m is not None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        f = jax.jit(jax.shard_map(
+            lambda x: jax.lax.pmax(x, mesh.DATA_AXIS), mesh=m,
+            in_specs=P(mesh.DATA_AXIS), out_specs=P()))
+        np.asarray(f(jnp.zeros((m.devices.size,), jnp.int32)))
+    return True
 
 
 def enabled() -> bool:
@@ -70,6 +114,121 @@ def sync(tag: str):
     multihost_utils.sync_global_devices(tag)
 
 
+def sum_across_ranks(values):
+    """Element-wise sum of a small int vector across all processes (the v1
+    transcript's global trim/middle counters)."""
+    from jax.experimental import multihost_utils
+    local = np.asarray(values, np.int64)
+    allv = np.asarray(multihost_utils.process_allgather(local))
+    return allv.reshape(world(), -1).sum(axis=0)
+
+
+def load_reads_block(input_file_or_directory, verbosity, print_dest,
+                     check_read_count):
+    """Partitioned twin of pipeline.phases.load_reads (reference
+    porechop.py:224-283): a cheap record-counting scan first, then a parse
+    that materializes ONLY this rank's contiguous record block plus its
+    slice of the global --check_reads sample.  Returns
+    (reads_block, check_block, read_type, n_total, n_check_total).
+
+    The v1 'Loading reads' text prints GLOBAL totals (it is what a
+    single-process run would print); PORECHOP_TPU_LOAD_STATS=<path> dumps
+    {'materialized': M, 'total': N} for tests asserting a rank never
+    builds the other ranks' read objects."""
+    from ..pipeline import stream as stream_mod
+    from ..pipeline.model import Read
+    from ..pipeline.phases import get_albacore_barcode_from_path
+    from ..utils.fastx import get_sequence_file_type
+    from ..utils.text import bold_underline, int_to_str
+
+    reads, check = [], []
+    materialized = 0
+
+    if os.path.isfile(input_file_or_directory):
+        if verbosity > 0:
+            print('\n' + bold_underline('Loading reads'), flush=True,
+                  file=print_dest)
+            print(input_file_or_directory, flush=True, file=print_dest)
+        read_type = get_sequence_file_type(input_file_or_directory)
+        n = stream_mod.count_records(input_file_or_directory)
+        n_check = min(check_read_count, n)
+        lo, hi = block_slice(n)
+        clo, chi = block_slice(n_check)
+        for idx, (name, seq, quals) in enumerate(
+                stream_mod._iter_records(input_file_or_directory)):
+            if idx >= hi and idx >= chi:
+                break
+            owned = lo <= idx < hi
+            c_owned = clo <= idx < chi
+            if owned or c_owned:
+                r = Read(name, seq, quals or '')
+                materialized += 1
+                if owned:
+                    reads.append(r)
+                if c_owned:
+                    check.append(r)
+    elif os.path.isdir(input_file_or_directory):
+        if verbosity > 0:
+            print('\n' + bold_underline('Searching for FASTQ files'),
+                  flush=True, file=print_dest)
+        fastqs = sorted(os.path.join(dir_path, f)
+                        for dir_path, _, filenames
+                        in os.walk(input_file_or_directory)
+                        for f in filenames
+                        if f.lower().endswith('.fastq')
+                        or f.lower().endswith('.fastq.gz'))
+        if not fastqs:
+            sys.exit('Error: could not find fastq files in '
+                     + input_file_or_directory)
+        read_type = 'FASTQ'
+        counts = [stream_mod.count_records(f) for f in fastqs]
+        n = sum(counts)
+        check_per_file = int(round(check_read_count / len(fastqs)))
+        f_checks = [min(check_per_file, c) for c in counts]
+        n_check = sum(f_checks)
+        lo, hi = block_slice(n)
+        clo, chi = block_slice(n_check)
+        base = cbase = 0
+        for path, cnt, f_check in zip(fastqs, counts, f_checks):
+            if verbosity > 0:
+                print(path, flush=True, file=print_dest)
+            no_reads = base + cnt <= lo or base >= hi
+            no_check = cbase + f_check <= clo or cbase >= chi
+            if not (no_reads and no_check):
+                albacore = get_albacore_barcode_from_path(path)
+                for j, (name, seq, quals) in enumerate(
+                        stream_mod._iter_records(path)):
+                    gidx = base + j
+                    gchk = cbase + j if j < f_check else -1
+                    if gidx >= hi and (gchk < 0 or gchk >= chi):
+                        break
+                    owned = lo <= gidx < hi
+                    c_owned = 0 <= gchk and clo <= gchk < chi
+                    if owned or c_owned:
+                        r = Read(name, seq, quals or '')
+                        r.albacore_barcode_call = albacore
+                        materialized += 1
+                        if owned:
+                            reads.append(r)
+                        if c_owned:
+                            check.append(r)
+            base += cnt
+            cbase += f_check
+        if verbosity > 0:
+            print('', flush=True, file=print_dest)
+    else:
+        sys.exit('Error: could not find ' + input_file_or_directory)
+
+    if verbosity > 0:
+        print(int_to_str(n) + ' reads loaded\n\n', flush=True,
+              file=print_dest)
+    stats_path = os.environ.get('PORECHOP_TPU_LOAD_STATS')
+    if stats_path:
+        with open('%s.rank%d' % (stats_path, rank()), 'w') as f:
+            json.dump({'materialized': materialized, 'total': n}, f)
+    return reads, check, read_type, n, n_check
+
+
 def merge_detection_stats(gm, gl):
     """All-gathers the per-(set, side) best (matches, full_len) pairs and
     folds them under the exact-fraction order, so every process sees the
@@ -90,72 +249,185 @@ def merge_detection_stats(gm, gl):
     return best_m, best_l
 
 
+# ---------------------------------------------------------------------------
+# -v 1 transcript blocks.  Every piece of the reference's v1 text is a pure
+# function of global counters (progress totals, trim/middle summaries), so
+# rank 0 re-emits it byte-identically after each phase completes — the same
+# re-sequencing trick pipeline/stream.py uses for chunked runs.  Ranks > 0
+# call these too (their print_dest is devnull), keeping control flow SPMD.
+# ---------------------------------------------------------------------------
+
+def print_detection_block(n_check, print_dest):
+    """Header + progress of phase 1 (reference porechop.py:286-327 v1 text)."""
+    from ..pipeline.phases import output_progress_line
+    from ..utils.text import bold_underline
+    print(bold_underline('Looking for known adapter sets'), flush=True,
+          file=print_dest)
+    output_progress_line(0, n_check, print_dest)
+    for r in range(1, n_check + 1):
+        output_progress_line(r, n_check, print_dest)
+    output_progress_line(n_check, n_check, print_dest, end_newline=True)
+
+
+def print_end_trim_block(matching_sets, n_total, start_count, start_total,
+                         end_count, end_total, print_dest):
+    """Phase-2 header + progress + summary from global counters
+    (reference porechop.py:438-530 v1 text)."""
+    from ..pipeline.phases import (end_trim_summary_counts,
+                                   output_progress_line,
+                                   print_end_trim_header)
+    print_end_trim_header(matching_sets, print_dest)
+    output_progress_line(0, n_total, print_dest)
+    for r in range(1, n_total + 1):
+        output_progress_line(r, n_total, print_dest)
+    output_progress_line(n_total, n_total, print_dest, end_newline=True)
+    print('', file=print_dest)
+    end_trim_summary_counts(n_total, start_count, start_total, end_count,
+                            end_total, print_dest)
+
+
+def print_middle_block(n_total, middle_count, discard_middle, threads,
+                       print_dest):
+    """Phase-3 banner + progress + summary (reference porechop.py:533-604,
+    including the threaded progress off-by-one)."""
+    from ..pipeline.phases import middle_summary_counts, output_progress_line
+    from ..utils.text import bold_underline
+    verb = 'Discarding' if discard_middle else 'Splitting'
+    print(bold_underline(verb + ' reads containing middle adapters'),
+          file=print_dest)
+    output_progress_line(0, n_total, print_dest)
+    for r in range(1, n_total + 1):
+        output_progress_line(r if threads == 1 else r + 1, n_total,
+                             print_dest)
+    output_progress_line(n_total, n_total, print_dest, end_newline=True)
+    print('', flush=True, file=print_dest)
+    middle_summary_counts(middle_count, n_total, discard_middle, print_dest)
+
+
 def _part_path(base: str, r: int) -> str:
     return '%s.mhpart%04d' % (base, r)
 
 
 def output_and_merge(reads, args, read_type, output_reads_fn):
-    """Per-rank serialization + rank-0 merge.
+    """Per-rank serialization + rank-0 merge of an in-memory read block."""
+    def write_block(dest_path, plain):
+        if args.barcode_dir is not None:
+            return output_reads_fn(
+                reads, plain, None, read_type, 0, args.discard_middle,
+                args.min_split_read_size, args.print_dest, dest_path,
+                args.input, args.untrimmed, args.threads,
+                args.discard_unassigned, return_counts=True)
+        output_reads_fn(reads, plain, dest_path, read_type, 0,
+                        args.discard_middle, args.min_split_read_size,
+                        args.print_dest, None, args.input, args.untrimmed,
+                        args.threads, args.discard_unassigned)
 
-    Every rank writes its block PLAIN (no compression) to a part file via
-    the normal writer; after a barrier rank 0 concatenates the parts in
-    rank order and applies the run's compression / final placement, so the
-    merged artifact is byte-identical to a single-process run."""
+    write_block_and_merge(args, read_type, write_block)
+
+
+def write_block_and_merge(args, read_type, write_block_fn,
+                          pre_merge_hook=None):
+    """The shared merge harness: every rank writes its block PLAIN (no
+    compression) via `write_block_fn(dest_path, plain_format)` — a part
+    file for -o/stdout runs, a part bin-directory for -b runs (then it must
+    return the {bin: (reads, bases)} counts dict) — and after a barrier
+    rank 0 concatenates parts in rank order with chunked copies and applies
+    compression / final placement, so the merged artifact is byte-identical
+    to a single-process run.  Also emits the output-section v1 text
+    (reference porechop.py:607-734) from the merged state.
+
+    pre_merge_hook (optional) runs after the parts are written but before
+    any output-section text: the streaming composition prints its deferred
+    phase transcript there (the counters only exist once the chunks have
+    flowed)."""
     from ..pipeline import output as out_mod
+    from ..utils.text import bold_underline
 
     out_format = out_mod.resolve_format(args.format, args.output, read_type,
                                         args.barcode_dir, args.input)
     plain = out_format[:-3] if out_format.endswith('.gz') else out_format
     r, w = rank(), world()
+    gz = out_format.endswith('.gz')
 
     if args.barcode_dir is not None:
         part_dir = os.path.join(args.barcode_dir, '.mh%04d' % r)
-        counts = output_reads_fn(
-            reads, plain, None, read_type, 0, args.discard_middle,
-            args.min_split_read_size, args.print_dest, part_dir,
-            args.input, args.untrimmed, args.threads,
-            args.discard_unassigned, return_counts=True)
+        counts = write_block_fn(part_dir, plain)
+        if not os.path.isdir(part_dir):     # rank wrote no reads at all
+            os.makedirs(part_dir)
         with open(os.path.join(part_dir, 'counts.json'), 'w') as f:
-            json.dump(counts, f)
+            json.dump(counts or {}, f)
+        part = None
+    else:
+        if args.output is None:
+            part = _part_path('PORECHOP_TPU_STDOUT_%d' % _run_tag(), r)
+        else:
+            part = _part_path(args.output, r)
+        write_block_fn(part, plain)
+
+    if pre_merge_hook is not None:
+        pre_merge_hook()
+
+    # Output-section v1 text (reference porechop.py:607-651): the 'Saving'
+    # banner and the pigz/gzip election line print in the single-process
+    # positions; ranks > 0 print to devnull, keeping control flow SPMD.
+    if args.verbosity > 0:
+        trimmed_or_untrimmed = 'untrimmed' if args.untrimmed else 'trimmed'
+        if args.barcode_dir is not None:
+            verb, destination = 'Saving ', 'barcode-specific files'
+        elif args.output is None:
+            verb, destination = 'Outputting ', 'stdout'
+        else:
+            verb, destination = 'Saving ', 'file'
+        print(bold_underline(verb + trimmed_or_untrimmed + ' reads to '
+                             + destination), flush=True,
+              file=args.print_dest)
+    gzip_cmd = (out_mod.gzip_command_for(
+        args.threads, args.verbosity if r == 0 else 0) if gz else 'gzip')
+
+    if args.barcode_dir is not None:
         sync('porechop-tpu-bins')
         if r == 0:
-            _merge_bins(args, plain, out_format.endswith('.gz'))
+            _merge_bins(args, plain, gz, gzip_cmd)
         sync('porechop-tpu-bins-done')
+        if args.verbosity > 0:
+            print('', flush=True, file=args.print_dest)
         return
 
-    if args.output is None:
-        part = _part_path('PORECHOP_TPU_STDOUT_%d' % _run_tag(), r)
-    else:
-        part = _part_path(args.output, r)
-    output_reads_fn(reads, plain, part, read_type, 0, args.discard_middle,
-                    args.min_split_read_size, args.print_dest, None,
-                    args.input, args.untrimmed, args.threads,
-                    args.discard_unassigned)
     sync('porechop-tpu-parts')
     if r == 0:
         parts = [(_part_path('PORECHOP_TPU_STDOUT_%d' % _run_tag(), k)
                   if args.output is None else _part_path(args.output, k))
                  for k in range(w)]
+        # A rank with an empty block may never open its part file (the
+        # streaming writer creates sinks lazily).
+        parts = [p for p in parts if os.path.isfile(p)]
         if args.output is None:
             for p in parts:
                 with open(p) as f:
-                    sys.stdout.write(f.read())
+                    shutil.copyfileobj(f, sys.stdout)
                 os.remove(p)
         else:
-            gz = out_format.endswith('.gz')
             target = args.output if not gz else args.output + '.mhplain'
+            # Chunked copies: rank 0 merges at exactly the scale where
+            # whole-file reads would defeat bounded memory.
             with open(target, 'wb') as out:
                 for p in parts:
                     with open(p, 'rb') as f:
-                        out.write(f.read())
+                        shutil.copyfileobj(f, out)
                     os.remove(p)
             if gz:
-                gzip_command = out_mod.gzip_command_for(args.threads, 0)
                 subprocess.check_output(
-                    gzip_command + ' -c ' + target + ' > ' + args.output,
+                    gzip_cmd + ' -c ' + target + ' > ' + args.output,
                     stderr=subprocess.STDOUT, shell=True)
                 os.remove(target)
     sync('porechop-tpu-parts-done')
+    if args.verbosity > 0:
+        if args.output is None:
+            print('Done', flush=True, file=args.print_dest)
+        else:
+            print('\nSaved result to ' + os.path.abspath(args.output),
+                  file=args.print_dest)
+        print('', flush=True, file=args.print_dest)
 
 
 def _run_tag() -> int:
@@ -168,11 +440,10 @@ def _run_tag() -> int:
         return 0
 
 
-def _merge_bins(args, plain_format, gzipped):
+def _merge_bins(args, plain_format, gzipped, gzip_command='gzip'):
     """Rank 0: append each rank's bin parts in rank order, aggregate the
     counts, compress, and print the counts table (reference
     porechop.py:679-704) from the aggregated numbers."""
-    from ..pipeline import output as out_mod
     from ..utils.text import int_to_str, print_table
 
     w = world()
@@ -192,12 +463,11 @@ def _merge_bins(args, plain_format, gzipped):
             src = os.path.join(part_dir, name + '.' + plain_format)
             dst = os.path.join(args.barcode_dir, name + '.' + plain_format)
             with open(dst, 'ab') as out, open(src, 'rb') as f:
-                out.write(f.read())
+                shutil.copyfileobj(f, out)
             os.remove(src)
         os.remove(os.path.join(part_dir, 'counts.json'))
         os.rmdir(part_dir)
 
-    gzip_command = out_mod.gzip_command_for(args.threads, 0)
     table = [['Barcode', 'Reads', 'Bases', 'File']]
     for name in sorted(names):
         bin_filename = os.path.join(args.barcode_dir,

@@ -68,6 +68,51 @@ def write_fastq(path: str, reads) -> None:
             f.write('@%s\n%s\n+\n%s\n' % (name, seq, quals))
 
 
+def ensure_fastq_streamed(path: str, n_reads: int, read_len: int,
+                          seed: int = 0, chunk: int = 50_000, **kwargs) -> str:
+    """Chunked, RESUMABLE synthesis straight to disk (gzipped when the path
+    ends .gz): the 1M-read stretch file never fits the build host's RAM as
+    one list, and takes longer to generate than one sitting — each chunk
+    lands as its own part file, and completed parts are skipped on re-run.
+    Concatenated gzip members are a single valid gzip stream, so the final
+    file is plain `cat` of the parts.  Deterministic for a given
+    (n_reads, read_len, seed, chunk)."""
+    import gzip
+    import os
+    import shutil
+    if os.path.isfile(path):
+        return path
+    gz = path.endswith('.gz')
+    part_dir = path + '.parts'
+    os.makedirs(part_dir, exist_ok=True)
+    digits = len(str(max(n_reads - 1, 1)))
+    parts = []
+    for lo in range(0, n_reads, chunk):
+        part = os.path.join(part_dir, 'part_%09d%s' % (lo,
+                                                       '.gz' if gz else ''))
+        parts.append(part)
+        if os.path.isfile(part):
+            continue
+        n = min(chunk, n_reads - lo)
+        tmp = part + '.tmp'
+        opener = gzip.open if gz else open
+        with opener(tmp, 'wb') as f:
+            for name, seq, quals in synth_reads(n, read_len,
+                                                seed=seed + lo, **kwargs):
+                idx = lo + int(name.split('_')[1])
+                f.write(('@read_%0*d\n%s\n+\n%s\n'
+                         % (digits, idx, seq, quals)).encode('ascii'))
+        os.replace(tmp, part)
+    tmp = path + '.tmp%d' % os.getpid()
+    with open(tmp, 'wb') as out:
+        for part in parts:
+            with open(part, 'rb') as f:
+                shutil.copyfileobj(f, out)
+    os.replace(tmp, path)
+    shutil.rmtree(part_dir)
+    return path
+
+
 def ensure_fastq(path: str, **kwargs) -> str:
     import os
     if not os.path.isfile(path):

@@ -121,3 +121,46 @@ def test_stream_ignored_at_v2():
         s2 = _run(['-i', fixture, '-o', 'out.fastq', '-v', '2'], d2, 3)
         assert s1.replace(d1, '') == s2.replace(d2, '')
         assert _snapshot(d1) == _snapshot(d2)
+
+
+def test_stream_albacore_directory_matches_default():
+    """VERDICT r2 missing #4: directory input (Albacore tree) has a
+    bounded-memory path — per-file check-read heads, per-file barcode tags
+    (the agreement veto included), sorted file order; output and -v 1 text
+    byte-identical to the in-memory directory path."""
+    fixture = os.path.join(FIX, 'test_albacore_directory')
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        args1 = ['-i', fixture, '-b', os.path.join(d1, 'bins'), '-v', '1']
+        text_default = _run(args1, d1)
+        args2 = ['-i', fixture, '-b', os.path.join(d2, 'bins'), '-v', '1']
+        text_stream = _run(args2, d2, stream_chunk=3)
+        assert text_stream == text_default.replace(d1, d2)
+        want = _snapshot(d1)
+        got = _snapshot(d2)
+        assert sorted(got) == sorted(want)
+        for f in want:
+            assert got[f] == want[f], f
+
+
+def test_stream_directory_single_file_equivalence():
+    """A directory holding one fastq streams identically to the in-memory
+    directory path (check_reads spread degenerates to the whole head)."""
+    import shutil
+    src = os.path.join(FIX, 'test_one_adapter_set.fastq')
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        for d in (d1, d2):
+            os.makedirs(os.path.join(d, 'in'))
+            shutil.copy(src, os.path.join(d, 'in', 'reads.fastq'))
+        out1 = os.path.join(d1, 'out.fastq')
+        out2 = os.path.join(d2, 'out.fastq')
+        t1 = _run(['-i', os.path.join(d1, 'in'), '-o', out1, '-v', '1'], d1)
+        t2 = _run(['-i', os.path.join(d2, 'in'), '-o', out2, '-v', '1'], d2,
+                  stream_chunk=4)
+        with open(out1, 'rb') as f:
+            want = f.read()
+        with open(out2, 'rb') as f:
+            got = f.read()
+        assert got == want
+        assert t2 == t1.replace(d1, d2)
