@@ -293,19 +293,52 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
                     bin_base_counts[name] += (
                         read.seq_length_with_start_end_adapters_trimmed())
 
-    chunk = []
-    for idx, read in enumerate(iter_input_reads(args.input)):
-        if record_range is not None:
-            if idx < record_range[0]:
-                continue
-            if idx >= record_range[1]:
-                break
-        chunk.append(read)
-        if len(chunk) >= chunk_size:
+    # Decode-ahead (SURVEY §2.3 pipeline overlap): a reader thread parses
+    # the NEXT chunk while the current one computes — gzip inflation and
+    # the engines (native SIMD, device waits) all release the GIL, so the
+    # decode rides the compute for free.  Chunk order is preserved, so the
+    # output bytes are identical.  PORECHOP_TPU_NO_READAHEAD=1 disables.
+    def chunks():
+        chunk = []
+        for idx, read in enumerate(iter_input_reads(args.input)):
+            if record_range is not None:
+                if idx < record_range[0]:
+                    continue
+                if idx >= record_range[1]:
+                    break
+            chunk.append(read)
+            if len(chunk) >= chunk_size:
+                yield chunk
+                chunk = []
+        if chunk:
+            yield chunk
+
+    if os.environ.get('PORECHOP_TPU_NO_READAHEAD'):
+        for chunk in chunks():
             flush_chunk(chunk)
-            chunk = []
-    if chunk:
-        flush_chunk(chunk)
+    else:
+        import queue
+        import threading
+        q = queue.Queue(maxsize=2)
+
+        def reader():
+            try:
+                for chunk in chunks():
+                    q.put(chunk)
+                q.put(None)
+            except BaseException as e:         # incl. SystemExit
+                q.put(e)
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            flush_chunk(item)
+        t.join()
 
     # Deferred v1 text: phase-2 close + summary, then the whole phase-3
     # block (its progress is a pure function of the totals), in the

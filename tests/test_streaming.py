@@ -164,3 +164,60 @@ def test_stream_directory_single_file_equivalence():
             got = f.read()
         assert got == want
         assert t2 == t1.replace(d1, d2)
+
+
+def test_stream_bounded_memory():
+    """VERDICT r2 #2: streaming memory must not grow with input size.
+    Compares child-process peak RSS between a 10k-read and a 50k-read
+    streaming run (same chunk size): the delta must stay far below the
+    40 MB of extra read data, while the in-memory path grows with input.
+    Subprocesses, so jax/numpy baseline RSS is identical across runs.
+    Peak is read from /proc VmHWM — ru_maxrss inherits the forking
+    parent's (pytest's) high-water mark across exec on Linux."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runner = (
+        'import resource, sys, json\n'
+        'sys.path.insert(0, %r)\n'
+        'from porechop_tpu.cli import main\n'
+        'import contextlib, io\n'
+        'with contextlib.redirect_stdout(io.StringIO()),'
+        ' contextlib.redirect_stderr(io.StringIO()):\n'
+        '    main(sys.argv[1:])\n'
+        'hwm = [l for l in open("/proc/self/status") if l.startswith("VmHWM")]\n'
+        'print(json.dumps({"rss_mb": int(hwm[0].split()[1]) / 1024.0}))\n' % repo)
+
+    def child_rss(fastq, stream_chunk):
+        env = dict(os.environ, JAX_PLATFORMS='cpu', PALLAS_AXON_POOL_IPS='',
+                   PORECHOP_TPU_FORCE_HOST='1', PYTHONPATH=repo)
+        # conftest's 8-virtual-device XLA_FLAGS inflates the jax baseline
+        # RSS to where it swamps the read-data signal being measured.
+        env.pop('XLA_FLAGS', None)
+        if stream_chunk:
+            env['PORECHOP_TPU_STREAM'] = str(stream_chunk)
+        else:
+            env.pop('PORECHOP_TPU_STREAM', None)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, 'out.fastq')
+            r = subprocess.run(
+                [sys.executable, '-c', runner, '-i', fastq, '-o', out,
+                 '-v', '0'], capture_output=True, text=True, env=env,
+                timeout=900)
+            assert r.returncode == 0, r.stderr[-2000:]
+            return json.loads(r.stdout.strip().splitlines()[-1])['rss_mb']
+
+    from porechop_tpu.utils import synth
+    small = synth.ensure_fastq_streamed('/tmp/porechop_rss_10kx1000.fastq',
+                                        10_000, 1000, seed=3)
+    big = synth.ensure_fastq_streamed('/tmp/porechop_rss_50kx1000.fastq',
+                                      50_000, 1000, seed=3)
+    rss_small = child_rss(small, 2000)
+    rss_big = child_rss(big, 2000)
+    # 40k extra reads = ~80 MB of seq+quals strings (>2x that as Read
+    # objects); bounded streaming must not absorb them.
+    assert rss_big - rss_small < 110, (rss_small, rss_big)
+    rss_full = child_rss(big, None)
+    assert rss_full - rss_big > 60, (rss_big, rss_full)

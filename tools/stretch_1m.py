@@ -18,12 +18,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Peak RSS via VmHWM: on Linux the child's ru_maxrss inherits the FORKING
+# PARENT's high-water mark across exec (observed: a 900 MB parent makes
+# every child report >= 900 MB), while /proc/self/status VmHWM tracks the
+# fresh post-exec mm.
 RUNNER = r'''
-import resource, sys, time
+import sys, time
 t0 = time.time()
 from porechop_tpu.cli import main
 main(sys.argv[1:])
-rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+hwm = [l for l in open("/proc/self/status") if l.startswith("VmHWM")]
+rss_mb = int(hwm[0].split()[1]) / 1024.0
 print("STRETCH wall=%.1f rss_mb=%.0f" % (time.time() - t0, rss_mb),
       file=sys.stderr)
 '''
