@@ -143,23 +143,21 @@ def detection_step(mesh, reads, read_lens, adapters, adapter_lens,
 
     match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
     sb = batch_sharding(mesh)
-    rep = replicated(mesh)
     B, L = reads.shape
     A = adapters.shape[1]
-    # Identity gather tables: the dense per-lane layout is the degenerate
-    # case of the dedup'd-table launch, so the one sharded group-max
-    # implementation serves both entry points.
+    # Dense batch-sharded launch: detection lanes map 1:1 to rows, so every
+    # per-lane array shards over the mesh — per-device memory is B/D lanes
+    # and only the (n_sets,) reduction replicates (the gather-table variant
+    # would replicate every read window to every device).
     wpk = engine_v2.pack_nibbles(reads)
     mode = engine_v2._pallas_mode(B // n_dev, L, A)
-    fn = engine_v2._sharded_groupmax_fn(mesh, L, int(n_sets), match,
-                                        mismatch, gap_open, gap_ext, mode)
-    idx = np.arange(B, dtype=np.int32)
-    gm, gl = fn(jax.device_put(wpk, rep),
-                jax.device_put(jnp.asarray(read_lens, jnp.int32), rep),
-                jax.device_put(jnp.asarray(adapters, jnp.int8), rep),
-                jax.device_put(jnp.asarray(adapter_lens, jnp.int32), rep),
-                jax.device_put(jnp.asarray(idx), sb),
-                jax.device_put(jnp.asarray(idx), sb),
+    fn = engine_v2._sharded_dense_groupmax_fn(mesh, L, int(n_sets), match,
+                                              mismatch, gap_open, gap_ext,
+                                              mode)
+    gm, gl = fn(jax.device_put(wpk, sb),
+                jax.device_put(jnp.asarray(read_lens, jnp.int32), sb),
+                jax.device_put(jnp.asarray(adapters, jnp.int8), sb),
+                jax.device_put(jnp.asarray(adapter_lens, jnp.int32), sb),
                 jax.device_put(jnp.asarray(set_pad), sb))
     gm = np.asarray(gm).astype(np.int64)
     gl = np.asarray(gl).astype(np.int64)

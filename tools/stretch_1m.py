@@ -35,7 +35,10 @@ print("STRETCH wall=%.1f rss_mb=%.0f" % (time.time() - t0, rss_mb),
 
 
 def run_child(args, env=None, tag=''):
-    e = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND to PYTHONPATH: replacing it would drop the axon
+    # sitecustomize dir and break the tunneled-TPU backend registration.
+    e = dict(os.environ)
+    e['PYTHONPATH'] = REPO + os.pathsep + e.get('PYTHONPATH', '')
     if env:
         e.update(env)
     p = subprocess.run([sys.executable, '-c', RUNNER] + args,
@@ -93,11 +96,15 @@ def main():
         mout = '/tmp/porechop_stretch_out_mh.fastq'
         t0 = time.time()
         for pid in range(2):
-            e = dict(os.environ, PYTHONPATH=REPO,
+            # CPU backend for the 2-process run: two jax.distributed
+            # ranks cannot share the single tunneled chip.
+            e = dict(os.environ,
+                     JAX_PLATFORMS='cpu', PALLAS_AXON_POOL_IPS='',
                      PORECHOP_TPU_STREAM=str(args.chunk),
                      PORECHOP_TPU_COORDINATOR='127.0.0.1:%d' % port,
                      PORECHOP_TPU_NUM_PROCS='2',
                      PORECHOP_TPU_PROC_ID=str(pid))
+            e['PYTHONPATH'] = REPO + os.pathsep + e.get('PYTHONPATH', '')
             if args.force_host:
                 e['PORECHOP_TPU_FORCE_HOST'] = '1'
             procs.append(subprocess.Popen(
