@@ -245,7 +245,7 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
         print_end_trim_header(matching_sets, dest)
         output_progress_line(0, total_reads, dest)
 
-    def flush_chunk(reads):
+    def compute_chunk(reads):
         if matching_sets:
             find_adapters_at_read_ends(
                 reads, matching_sets, 0, args.end_size, args.extra_end_trim,
@@ -266,6 +266,8 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
                     args.extra_middle_trim_bad_side, args.scoring_scheme_vals,
                     dest, args.threads, args.discard_middle)
         totals['done'] += len(reads)
+
+    def write_chunk(reads):
         for read in reads:
             totals['start_count'] += 1 if read.start_trim_amount else 0
             totals['start_total'] += read.start_trim_amount
@@ -293,11 +295,13 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
                     bin_base_counts[name] += (
                         read.seq_length_with_start_end_adapters_trimmed())
 
-    # Decode-ahead (SURVEY §2.3 pipeline overlap): a reader thread parses
-    # the NEXT chunk while the current one computes — gzip inflation and
-    # the engines (native SIMD, device waits) all release the GIL, so the
-    # decode rides the compute for free.  Chunk order is preserved, so the
-    # output bytes are identical.  PORECHOP_TPU_NO_READAHEAD=1 disables.
+    # Pipeline overlap (SURVEY §2.3): a reader thread parses the NEXT chunk
+    # and a writer thread serializes the PREVIOUS one while the current one
+    # computes — gzip inflation, the engines (native SIMD, device waits)
+    # and file writes all release the GIL.  Both queues are FIFO and
+    # bounded, so chunk order (and therefore every output byte) is
+    # unchanged and memory stays at a few chunks.
+    # PORECHOP_TPU_NO_READAHEAD=1 selects the serial loop.
     def chunks():
         chunk = []
         for idx, read in enumerate(iter_input_reads(args.input)):
@@ -315,30 +319,55 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
 
     if os.environ.get('PORECHOP_TPU_NO_READAHEAD'):
         for chunk in chunks():
-            flush_chunk(chunk)
+            compute_chunk(chunk)
+            write_chunk(chunk)
     else:
         import queue
         import threading
-        q = queue.Queue(maxsize=2)
+        rq = queue.Queue(maxsize=2)
+        wq = queue.Queue(maxsize=2)
+        werr = []
 
         def reader():
             try:
                 for chunk in chunks():
-                    q.put(chunk)
-                q.put(None)
+                    rq.put(chunk)
+                rq.put(None)
             except BaseException as e:         # incl. SystemExit
-                q.put(e)
+                rq.put(e)
 
-        t = threading.Thread(target=reader, daemon=True)
-        t.start()
+        def writer():
+            while True:
+                item = wq.get()
+                if item is None:
+                    return
+                try:
+                    write_chunk(item)
+                except BaseException as e:
+                    werr.append(e)
+                    return
+
+        rt = threading.Thread(target=reader, daemon=True)
+        wt = threading.Thread(target=writer, daemon=True)
+        rt.start()
+        wt.start()
         while True:
-            item = q.get()
+            item = rq.get()
             if item is None:
                 break
             if isinstance(item, BaseException):
+                wq.put(None)
+                wt.join()
                 raise item
-            flush_chunk(item)
-        t.join()
+            compute_chunk(item)
+            if werr:
+                break
+            wq.put(item)
+        wq.put(None)
+        rt.join()
+        wt.join()
+        if werr:
+            raise werr[0]
 
     # Deferred v1 text: phase-2 close + summary, then the whole phase-3
     # block (its progress is a pure function of the totals), in the
