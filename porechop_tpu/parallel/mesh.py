@@ -47,16 +47,26 @@ _AUTO_MESH_SET = False
 
 
 def auto_mesh():
-    """The mesh production launches shard over: all local devices when there
-    is more than one (or when PORECHOP_TPU_MESH=1 forces it for testing);
-    None for the common single-chip case.  Cached after first use."""
+    """The mesh production launches shard over: all devices LOCAL to this
+    process when there is more than one (or when PORECHOP_TPU_MESH=1 forces
+    it for testing); None for the common single-chip case.  Cached after
+    first use.
+
+    Local, not global, devices: each jax.distributed rank dispatches its
+    own block's launches independently, so a mesh spanning other processes
+    would turn every launch into an unsynchronized cross-process collective
+    — ranks with different block sizes then issue mismatched collectives
+    and gloo aborts (observed with uneven directory-input blocks).  The
+    only cross-process reduction in the pipeline is the detection stats
+    merge, which goes through multihost.merge_detection_stats (a host-level
+    allgather every rank calls in lockstep)."""
     global _AUTO_MESH, _AUTO_MESH_SET
     if _AUTO_MESH_SET:
         return _AUTO_MESH
     _AUTO_MESH_SET = True
     if os.environ.get('PORECHOP_TPU_DISABLE_MESH'):
         return None
-    devices = jax.devices()
+    devices = jax.local_devices()
     if len(devices) > 1 or os.environ.get('PORECHOP_TPU_MESH'):
         _AUTO_MESH = make_mesh(devices)
     return _AUTO_MESH

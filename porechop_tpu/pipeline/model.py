@@ -57,8 +57,11 @@ class Read:
         self.name = name
         self.seq = seq.upper()
         # RNA detection: more U than T -> treat as RNA, align as DNA
-        # (nanopore_read.py:26-31); mapped back to U on output.
-        if self.seq.count('U') > self.seq.count('T'):
+        # (nanopore_read.py:26-31); mapped back to U on output.  DNA reads
+        # have zero Us, so counting Ts (a full second scan per read) only
+        # happens when a U was actually seen.
+        u_count = self.seq.count('U')
+        if u_count and u_count > self.seq.count('T'):
             self.rna = True
             self.seq = self.seq.replace('U', 'T')
         else:

@@ -213,3 +213,60 @@ def test_streaming_multihost_gz_and_bins(tmp_path):
     assert mfiles == sfiles
     for f in sfiles:
         assert (mdir / f).read_bytes() == (sdir / f).read_bytes(), f
+
+
+def test_two_process_stdout_mode_matches_single(tmp_path):
+    """Reads-to-stdout mode: rank 0 merges part files into its stdout;
+    ranks > 0 stay silent (their fd 1 is hard-silenced at init)."""
+    r_single = _run_single(['-i', FIXTURE, '-v', '0'], str(tmp_path))
+    outs = _run_multi(['-i', FIXTURE, '-v', '0'], str(tmp_path))
+    got = outs[0][0]
+    # The init-time warmup confines gloo's banners to complete lines before
+    # any read data (see multihost.maybe_init).
+    while got.startswith('[Gloo] Rank '):
+        got = got[got.index('\n') + 1:]
+    assert got == r_single.stdout
+    assert outs[1][0] == ''
+
+
+def test_two_process_albacore_directory(tmp_path):
+    """Directory input partitions per-record across ranks (per-file counts
+    + global ranges) with Albacore barcode tags preserved."""
+    fixture = os.path.join(FIXTURES, 'test_albacore_directory')
+    if not os.path.isdir(fixture):
+        pytest.skip('albacore fixture unavailable')
+    # Equal-length bin dirs: the counts table truncates the File column to
+    # 60 chars, so only a same-length path substitution maps one transcript
+    # onto the other.
+    (tmp_path / 'a').mkdir()
+    (tmp_path / 'b').mkdir()
+    sdir = tmp_path / 'a' / 'bins'
+    mdir = tmp_path / 'b' / 'bins'
+    r_single = _run_single(['-i', fixture, '-b', str(sdir), '-v', '1'],
+                           str(tmp_path))
+    outs = _run_multi(['-i', fixture, '-b', str(mdir), '-v', '1'],
+                      str(tmp_path))
+    sfiles = sorted(os.listdir(sdir))
+    mfiles = sorted(f for f in os.listdir(mdir) if not f.startswith('.'))
+    assert mfiles == sfiles
+    for f in sfiles:
+        assert (mdir / f).read_bytes() == (sdir / f).read_bytes(), f
+    want = r_single.stdout.replace('a/bins', 'b/bins')
+    assert _strip_backend_noise(outs[0][0]) == want
+
+
+def test_two_process_input_smaller_than_world(tmp_path):
+    """A 1-read input leaves rank 1 with an empty block: the merge must
+    tolerate the missing part file and still be byte-identical."""
+    src = os.path.join(FIXTURES, 'test_one_adapter_set.fastq')
+    with open(src) as f:
+        lines = f.read().splitlines()[:4]
+    tiny = tmp_path / 'tiny.fastq'
+    tiny.write_text('\n'.join(lines) + '\n')
+    single = tmp_path / 'single.fastq'
+    multi = tmp_path / 'multi.fastq'
+    _run_single(['-i', str(tiny), '-o', str(single), '-v', '0'],
+                str(tmp_path))
+    _run_multi(['-i', str(tiny), '-o', str(multi), '-v', '0'],
+               str(tmp_path))
+    assert multi.read_bytes() == single.read_bytes()
