@@ -63,14 +63,14 @@ def _run_pipeline(args):
 
     # Multi-host: each jax.distributed process counts records cheaply, then
     # parses/materializes only its contiguous block; the detection stats
-    # merge globally (parallel/multihost.py).  At -v 1 rank 0 re-emits the
-    # full reference transcript from global counters; -v >= 2 per-read
-    # dumps stay shard-local on rank 0.
+    # merge globally (parallel/multihost.py).  Rank 0 re-emits the full
+    # reference transcript: at -v 1 from global counters, at -v >= 2 with
+    # the per-read dumps gathered from all ranks in read order.
     stats_merge = None
-    mh_v1 = False
+    mh_text = False
     if mh:
         stats_merge = multihost.merge_detection_stats
-        mh_v1 = args.verbosity == 1
+        mh_text = args.verbosity >= 1
         reads, check_reads, read_type, n_total, n_check = \
             multihost.load_reads_block(args.input, args.verbosity,
                                        args.print_dest, args.check_reads)
@@ -80,7 +80,7 @@ def _run_pipeline(args):
                                                    args.print_dest,
                                                    args.check_reads)
         n_total, n_check = len(reads), len(check_reads)
-    phase_verbosity = 0 if mh_v1 else args.verbosity
+    phase_verbosity = 0 if mh_text else args.verbosity
 
     matching_sets = find_matching_adapter_sets(check_reads, phase_verbosity,
                                                args.end_size,
@@ -89,7 +89,7 @@ def _run_pipeline(args):
                                                args.adapter_threshold,
                                                args.threads,
                                                stats_merge=stats_merge)
-    if mh_v1:
+    if mh_text:
         multihost.print_detection_block(n_check, args.print_dest)
     matching_sets = fix_up_1d2_sets(matching_sets)
 
@@ -108,43 +108,71 @@ def _run_pipeline(args):
 
     if matching_sets:
         check_barcodes = (args.barcode_dir is not None)
-        find_adapters_at_read_ends(reads, matching_sets, phase_verbosity,
-                                   args.end_size, args.extra_end_trim,
-                                   args.end_threshold,
-                                   args.scoring_scheme_vals, args.print_dest,
-                                   args.min_trim_size, args.threads,
-                                   check_barcodes, args.barcode_threshold,
-                                   args.barcode_diff,
-                                   args.require_two_barcodes,
-                                   forward_or_reverse_barcodes)
-        if mh_v1:
+        dumps2 = find_adapters_at_read_ends(
+            reads, matching_sets, phase_verbosity,
+            args.end_size, args.extra_end_trim, args.end_threshold,
+            args.scoring_scheme_vals, args.print_dest, args.min_trim_size,
+            args.threads, check_barcodes, args.barcode_threshold,
+            args.barcode_diff, args.require_two_barcodes,
+            forward_or_reverse_barcodes,
+            collect_dumps=args.verbosity if mh_text else 0)
+        if mh_text:
+            from .pipeline.phases import (end_trim_summary_counts,
+                                          print_end_trim_header)
             tot = multihost.sum_across_ranks([
                 sum(1 if x.start_trim_amount else 0 for x in reads),
                 sum(x.start_trim_amount for x in reads),
                 sum(1 if x.end_trim_amount else 0 for x in reads),
                 sum(x.end_trim_amount for x in reads)])
-            multihost.print_end_trim_block(matching_sets, n_total,
-                                           int(tot[0]), int(tot[1]),
-                                           int(tot[2]), int(tot[3]),
-                                           args.print_dest)
+            if args.verbosity == 1:
+                multihost.print_end_trim_block(matching_sets, n_total,
+                                               int(tot[0]), int(tot[1]),
+                                               int(tot[2]), int(tot[3]),
+                                               args.print_dest)
+            else:
+                allt = multihost.gather_text_blocks(
+                    'p2', ''.join(line + '\n' for line in dumps2))
+                print_end_trim_header(matching_sets, args.print_dest)
+                if allt:
+                    args.print_dest.write(allt)
+                print('', file=args.print_dest)
+                end_trim_summary_counts(n_total, int(tot[0]), int(tot[1]),
+                                        int(tot[2]), int(tot[3]),
+                                        args.print_dest)
         else:
             display_read_end_trimming_summary(reads, args.verbosity,
                                               args.print_dest)
         if not args.no_split:
-            find_adapters_in_read_middles(reads, matching_sets,
-                                          phase_verbosity,
-                                          args.middle_threshold,
-                                          args.extra_middle_trim_good_side,
-                                          args.extra_middle_trim_bad_side,
-                                          args.scoring_scheme_vals,
-                                          args.print_dest, args.threads,
-                                          args.discard_middle)
-            if mh_v1:
+            dumps3 = find_adapters_in_read_middles(
+                reads, matching_sets, phase_verbosity,
+                args.middle_threshold, args.extra_middle_trim_good_side,
+                args.extra_middle_trim_bad_side, args.scoring_scheme_vals,
+                args.print_dest, args.threads, args.discard_middle,
+                collect_dumps=args.verbosity if mh_text else 0)
+            if mh_text:
+                from .pipeline.phases import middle_summary_counts
+                from .utils.text import bold_underline
                 mid = multihost.sum_across_ranks([
                     sum(1 if x.middle_adapter_ranges else 0 for x in reads)])
-                multihost.print_middle_block(n_total, int(mid[0]),
-                                             args.discard_middle,
-                                             args.threads, args.print_dest)
+                if args.verbosity == 1:
+                    multihost.print_middle_block(n_total, int(mid[0]),
+                                                 args.discard_middle,
+                                                 args.threads,
+                                                 args.print_dest)
+                else:
+                    allt = multihost.gather_text_blocks(
+                        'p3', ''.join(line + '\n' for line in dumps3))
+                    verb = ('Discarding' if args.discard_middle
+                            else 'Splitting')
+                    print(bold_underline(
+                        verb + ' reads containing middle adapters'),
+                        file=args.print_dest)
+                    if allt:
+                        args.print_dest.write(allt)
+                        args.print_dest.flush()
+                    middle_summary_counts(int(mid[0]), n_total,
+                                          args.discard_middle,
+                                          args.print_dest)
             else:
                 display_read_middle_trimming_summary(reads,
                                                      args.discard_middle,

@@ -18,13 +18,13 @@ scan, then parses and materializes ONLY its own record block (plus its
 slice of the --check_reads sample head), so N hosts hold 1/N of the reads
 each and decode 1/N of the records into objects.
 
-Verbosity contract: at -v 1, rank 0 prints the full reference transcript
-from globally-aggregated counters (progress totals, trim summaries, bin
-tables — all v1 text is a pure function of those), byte-identical to a
-single-process -v 1 run except the rank-local wall-clock of course.  At
--v >= 2 the per-read dumps would need cross-rank interleaving; they stay
-shard-local on rank 0 (ranks > 0 silent) — use -v 1 or a single process
-for full dumps.
+Verbosity contract: rank 0 prints the full reference transcript
+byte-identically to a single-process run.  At -v 1 it is rebuilt from
+globally-aggregated counters (progress totals, trim summaries, bin
+tables — all v1 text is a pure function of those); at -v >= 2 each rank's
+per-read dump lines are gathered through part files (gather_text_blocks)
+and re-emitted in global read order (the ranks own contiguous read
+blocks, so rank-ordered concatenation IS read order).
 
 Activation: set PORECHOP_TPU_COORDINATOR=host:port, PORECHOP_TPU_NUM_PROCS
 and PORECHOP_TPU_PROC_ID (see mesh.init_distributed) on every process and
@@ -302,6 +302,33 @@ def print_middle_block(n_total, middle_count, discard_middle, threads,
     output_progress_line(n_total, n_total, print_dest, end_newline=True)
     print('', flush=True, file=print_dest)
     middle_summary_counts(middle_count, n_total, discard_middle, print_dest)
+
+
+def gather_text_blocks(section: str, text: str):
+    """Writes this rank's text block to a part file, barriers, and returns
+    the rank-ordered concatenation on rank 0 (None elsewhere).  Used for
+    the -v >= 2 per-read dumps, whose global order is the concatenation of
+    the ranks' contiguous read blocks."""
+    import tempfile
+    base = os.path.join(tempfile.gettempdir(),
+                        'porechop_tpu_mhtext_%d_%s' % (_run_tag(), section))
+    mine = '%s.rank%04d' % (base, rank())
+    with open(mine, 'w') as f:
+        f.write(text)
+    sync('porechop-tpu-text-' + section)
+    out = None
+    if rank() == 0:
+        parts = []
+        for k in range(world()):
+            with open('%s.rank%04d' % (base, k)) as f:
+                parts.append(f.read())
+        out = ''.join(parts)
+    sync('porechop-tpu-text-done-' + section)
+    try:
+        os.remove(mine)
+    except OSError:
+        pass
+    return out
 
 
 def _part_path(base: str, r: int) -> str:

@@ -264,7 +264,12 @@ def find_adapters_at_read_ends(reads, matching_sets, verbosity, end_size,
                                scoring_scheme_vals, print_dest, min_trim_size,
                                threads, check_barcodes, barcode_threshold,
                                barcode_diff, require_two_barcodes,
-                               forward_or_reverse_barcodes):
+                               forward_or_reverse_barcodes,
+                               collect_dumps=0):
+    """collect_dumps > 0 (with verbosity 0): build and RETURN the per-read
+    v2/v3 dump lines at that level without printing anything — the
+    multi-host runtime gathers each rank's lines and re-emits them in
+    global read order (parallel/multihost.py)."""
     if verbosity > 0:
         print_end_trim_header(matching_sets, print_dest)
 
@@ -334,10 +339,11 @@ def find_adapters_at_read_ends(reads, matching_sets, verbosity, end_size,
         if check_barcodes:
             read.determine_barcode(barcode_threshold, barcode_diff,
                                    require_two_barcodes)
-        if verbosity == 2:
+        dump_level = verbosity if verbosity > 1 else collect_dumps
+        if dump_level == 2:
             per_read_lines.append(read.formatted_start_and_end_seq(
                 end_size, extra_trim_size, check_barcodes))
-        elif verbosity > 2:
+        elif dump_level > 2:
             per_read_lines.append(read.full_start_end_output(
                 end_size, extra_trim_size, check_barcodes))
 
@@ -351,6 +357,7 @@ def find_adapters_at_read_ends(reads, matching_sets, verbosity, end_size,
             print(line, file=print_dest)
     if verbosity > 0:
         print('', file=print_dest)
+    return per_read_lines
 
 
 def print_end_trim_header(matching_sets, print_dest):
@@ -406,7 +413,9 @@ def end_trim_summary_counts(n_reads, start_count, start_total, end_count,
 def find_adapters_in_read_middles(reads, matching_sets, verbosity,
                                   middle_threshold, extra_trim_good_side,
                                   extra_trim_bad_side, scoring_scheme_vals,
-                                  print_dest, threads, discard_middle):
+                                  print_dest, threads, discard_middle,
+                                  collect_dumps=0):
+    """collect_dumps: see find_adapters_at_read_ends."""
     if verbosity > 0:
         verb = 'Discarding' if discard_middle else 'Splitting'
         print(bold_underline(verb + ' reads containing middle adapters'),
@@ -518,11 +527,16 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
         output_progress_line(read_count, read_count, print_dest,
                              end_newline=True)
         print('', flush=True, file=print_dest)
-    if verbosity > 1:
+    dump_level = verbosity if verbosity > 1 else collect_dumps
+    dump_lines = []
+    if dump_level > 1:
         for read in reads:
             if read.middle_adapter_ranges:
-                print(read.middle_adapter_results(verbosity),
-                      file=print_dest, flush=True)
+                dump_lines.append(read.middle_adapter_results(dump_level))
+    if verbosity > 1:
+        for line in dump_lines:
+            print(line, file=print_dest, flush=True)
+    return dump_lines
 
 
 def display_read_middle_trimming_summary(reads, discard_middle, verbosity,

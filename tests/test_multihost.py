@@ -221,10 +221,13 @@ def test_two_process_stdout_mode_matches_single(tmp_path):
     r_single = _run_single(['-i', FIXTURE, '-v', '0'], str(tmp_path))
     outs = _run_multi(['-i', FIXTURE, '-v', '0'], str(tmp_path))
     got = outs[0][0]
-    # The init-time warmup confines gloo's banners to complete lines before
-    # any read data (see multihost.maybe_init).
-    while got.startswith('[Gloo] Rank '):
-        got = got[got.index('\n') + 1:]
+    # The init-time warmup confines gloo's banners before any read data
+    # (see multihost.maybe_init), but concurrent banner writes can
+    # interleave with EACH OTHER — drop whole lines until the first FASTQ
+    # record header.
+    lines = got.splitlines(keepends=True)
+    k = next(i for i, ln in enumerate(lines) if ln.startswith('@'))
+    got = ''.join(lines[k:])
     assert got == r_single.stdout
     assert outs[1][0] == ''
 
@@ -270,3 +273,19 @@ def test_two_process_input_smaller_than_world(tmp_path):
     _run_multi(['-i', str(tiny), '-o', str(multi), '-v', '0'],
                str(tmp_path))
     assert multi.read_bytes() == single.read_bytes()
+
+
+@pytest.mark.parametrize('level', ['2', '3'])
+def test_two_process_v2_v3_dumps_match_single(tmp_path, level):
+    """-v 2/3 per-read dumps: ranks gather their dump lines and rank 0
+    re-emits them in global read order, byte-identical to single-process."""
+    out = tmp_path / 'out.fastq'
+    r_single = _run_single(['-i', FIXTURE, '-o', str(out), '-v', level],
+                           str(tmp_path))
+    single_bytes = out.read_bytes()
+    out.unlink()
+    outs = _run_multi(['-i', FIXTURE, '-o', str(out), '-v', level],
+                      str(tmp_path))
+    assert out.read_bytes() == single_bytes
+    assert _strip_backend_noise(outs[0][0]) == r_single.stdout
+    assert _strip_backend_noise(outs[1][0]) == ''
