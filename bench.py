@@ -79,6 +79,28 @@ def measure_ours(force_host=None, repeats=3):
     return N_READS / best, best
 
 
+def measure_tpu_guarded(timeout_s=900):
+    """Runs the device-path measurement in a SUBPROCESS with a hard
+    timeout: the tunneled chip has been observed to wedge mid-run (not
+    just at probe time), and an in-process hang here would stall the
+    whole driver.  Returns reads/s or None."""
+    code = ('import sys\n'
+            'sys.path.insert(0, %r)\n'
+            'import bench\n'
+            'rps, _ = bench.measure_ours(force_host=False)\n'
+            'print("TPU_RPS", rps)\n' % REPO)
+    try:
+        r = subprocess.run([sys.executable, '-c', code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in r.stdout.splitlines():
+        if line.startswith('TPU_RPS'):
+            return float(line.split()[1])
+    return None
+
+
 def measure_reference():
     """Times reference Porechop (shadow-built SeqAn .so) on the same file."""
     from tests.test_cli_parity import _build_shadow, SHADOW
@@ -115,8 +137,11 @@ def main():
         backend = 'host-native (tpu probe failed)'
     else:
         host_rps, _ = measure_ours(force_host=True)
-        tpu_rps, _ = measure_ours(force_host=False)
-        if tpu_rps >= host_rps:
+        tpu_rps = measure_tpu_guarded()
+        if tpu_rps is None:
+            reads_per_s = host_rps
+            backend = 'host-native (tpu wedged mid-run)'
+        elif tpu_rps >= host_rps:
             reads_per_s = tpu_rps
             backend = 'tpu %.0f r/s vs host %.0f r/s' % (tpu_rps, host_rps)
         else:
