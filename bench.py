@@ -94,11 +94,15 @@ def measure_tpu_guarded(timeout_s=900):
                            capture_output=True, text=True,
                            timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return None
+        return None, 'tpu wedged mid-run'
     for line in r.stdout.splitlines():
         if line.startswith('TPU_RPS'):
-            return float(line.split()[1])
-    return None
+            return float(line.split()[1]), None
+    # Crash, not wedge: surface it so a device-path regression can't hide
+    # behind a valid-looking host fallback number.
+    print('[bench] device-path child failed (rc=%d):\n%s'
+          % (r.returncode, r.stderr[-2000:]), file=sys.stderr, flush=True)
+    return None, 'tpu run failed rc=%d' % r.returncode
 
 
 def measure_reference():
@@ -137,10 +141,10 @@ def main():
         backend = 'host-native (tpu probe failed)'
     else:
         host_rps, _ = measure_ours(force_host=True)
-        tpu_rps = measure_tpu_guarded()
+        tpu_rps, tpu_err = measure_tpu_guarded()
         if tpu_rps is None:
             reads_per_s = host_rps
-            backend = 'host-native (tpu wedged mid-run)'
+            backend = 'host-native (%s)' % tpu_err
         elif tpu_rps >= host_rps:
             reads_per_s = tpu_rps
             backend = 'tpu %.0f r/s vs host %.0f r/s' % (tpu_rps, host_rps)

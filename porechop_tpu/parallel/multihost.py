@@ -28,7 +28,11 @@ blocks, so rank-ordered concatenation IS read order).
 
 Activation: set PORECHOP_TPU_COORDINATOR=host:port, PORECHOP_TPU_NUM_PROCS
 and PORECHOP_TPU_PROC_ID (see mesh.init_distributed) on every process and
-run the same CLI command.
+run the same CLI command.  The input path and the output destination
+(-o file / -b dir) must be visible to every rank (shared storage) — part
+files are written next to the final output and concatenated by rank 0;
+all other cross-rank traffic (detection stats, counters, -v >= 2 dump
+text) goes over jax.distributed collectives, not the filesystem.
 """
 
 from __future__ import annotations
@@ -171,15 +175,7 @@ def load_reads_block(input_file_or_directory, verbosity, print_dest,
         if verbosity > 0:
             print('\n' + bold_underline('Searching for FASTQ files'),
                   flush=True, file=print_dest)
-        fastqs = sorted(os.path.join(dir_path, f)
-                        for dir_path, _, filenames
-                        in os.walk(input_file_or_directory)
-                        for f in filenames
-                        if f.lower().endswith('.fastq')
-                        or f.lower().endswith('.fastq.gz'))
-        if not fastqs:
-            sys.exit('Error: could not find fastq files in '
-                     + input_file_or_directory)
+        fastqs = stream_mod.list_fastqs(input_file_or_directory)
         read_type = 'FASTQ'
         counts = [stream_mod.count_records(f) for f in fastqs]
         n = sum(counts)
@@ -305,30 +301,25 @@ def print_middle_block(n_total, middle_count, discard_middle, threads,
 
 
 def gather_text_blocks(section: str, text: str):
-    """Writes this rank's text block to a part file, barriers, and returns
-    the rank-ordered concatenation on rank 0 (None elsewhere).  Used for
-    the -v >= 2 per-read dumps, whose global order is the concatenation of
-    the ranks' contiguous read blocks."""
-    import tempfile
-    base = os.path.join(tempfile.gettempdir(),
-                        'porechop_tpu_mhtext_%d_%s' % (_run_tag(), section))
-    mine = '%s.rank%04d' % (base, rank())
-    with open(mine, 'w') as f:
-        f.write(text)
-    sync('porechop-tpu-text-' + section)
-    out = None
-    if rank() == 0:
-        parts = []
-        for k in range(world()):
-            with open('%s.rank%04d' % (base, k)) as f:
-                parts.append(f.read())
-        out = ''.join(parts)
-    sync('porechop-tpu-text-done-' + section)
-    try:
-        os.remove(mine)
-    except OSError:
-        pass
-    return out
+    """All-gathers each rank's text block over the jax.distributed
+    collective (NOT through the filesystem — ranks on different hosts
+    share no /tmp) and returns the rank-ordered concatenation on rank 0
+    (None elsewhere).  Used for the -v >= 2 per-read dumps, whose global
+    order is the concatenation of the ranks' contiguous read blocks."""
+    del section
+    from jax.experimental import multihost_utils
+    raw = text.encode('utf-8')
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.array([len(raw)], np.int64))).reshape(-1)
+    width = max(1, int(lens.max()))
+    padded = np.zeros(width, np.uint8)
+    padded[:len(raw)] = np.frombuffer(raw, np.uint8)
+    allv = np.asarray(multihost_utils.process_allgather(padded))
+    if rank() != 0:
+        return None
+    allv = allv.reshape(world(), width)
+    return ''.join(allv[k, :int(lens[k])].tobytes().decode('utf-8')
+                   for k in range(world()))
 
 
 def _part_path(base: str, r: int) -> str:

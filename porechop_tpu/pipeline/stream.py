@@ -119,21 +119,34 @@ def count_records(path) -> int:
     return sum(1 for _ in _iter_records(path))
 
 
-def iter_input_reads(input_):
-    """Yields Read objects streaming from a file or a directory (sorted
-    file order, per-file Albacore barcode tags — reference
-    porechop.py:241-283)."""
+def iter_input_records(input_):
+    """Yields raw (name, seq, quals_or_None, albacore_barcode) tuples from
+    a file or a directory (sorted file order, per-file Albacore barcode
+    tags — reference porechop.py:241-283).  Raw so range-filtered callers
+    (the multi-host partition) can skip records without paying Read
+    construction (seq.upper() + RNA scan copy the whole sequence)."""
     from .phases import get_albacore_barcode_from_path
     if os.path.isdir(input_):
         for path in list_fastqs(input_):
             albacore = get_albacore_barcode_from_path(path)
             for name, seq, quals in _iter_records(path):
-                r = Read(name, seq, quals or '')
-                r.albacore_barcode_call = albacore
-                yield r
+                yield name, seq, quals, albacore
     else:
         for name, seq, quals in _iter_records(input_):
-            yield Read(name, seq, quals or '')
+            yield name, seq, quals, None
+
+
+def _make_read(name, seq, quals, albacore):
+    r = Read(name, seq, quals or '')
+    if albacore is not None:
+        r.albacore_barcode_call = albacore
+    return r
+
+
+def iter_input_reads(input_):
+    """Yields Read objects streaming from a file or a directory."""
+    for rec in iter_input_records(input_):
+        yield _make_read(*rec)
 
 
 def collect_check_reads(input_, check_read_count, record_range=None):
@@ -304,13 +317,13 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
     # PORECHOP_TPU_NO_READAHEAD=1 selects the serial loop.
     def chunks():
         chunk = []
-        for idx, read in enumerate(iter_input_reads(args.input)):
+        for idx, rec in enumerate(iter_input_records(args.input)):
             if record_range is not None:
                 if idx < record_range[0]:
-                    continue
+                    continue            # skipped records stay raw tuples
                 if idx >= record_range[1]:
                     break
-            chunk.append(read)
+            chunk.append(_make_read(*rec))
             if len(chunk) >= chunk_size:
                 yield chunk
                 chunk = []
@@ -337,35 +350,40 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
                 rq.put(e)
 
         def writer():
+            # On failure, record the error but KEEP DRAINING until the
+            # None sentinel: a dead consumer would deadlock the main
+            # thread's bounded wq.put (and transitively the reader).
             while True:
                 item = wq.get()
                 if item is None:
                     return
-                try:
-                    write_chunk(item)
-                except BaseException as e:
-                    werr.append(e)
-                    return
+                if not werr:
+                    try:
+                        write_chunk(item)
+                    except BaseException as e:
+                        werr.append(e)
 
         rt = threading.Thread(target=reader, daemon=True)
         wt = threading.Thread(target=writer, daemon=True)
         rt.start()
         wt.start()
+        rerr = None
         while True:
             item = rq.get()
             if item is None:
                 break
             if isinstance(item, BaseException):
-                wq.put(None)
-                wt.join()
-                raise item
-            compute_chunk(item)
-            if werr:
+                rerr = item
                 break
+            if not werr:        # writer died: stop computing, just drain
+                compute_chunk(item)
             wq.put(item)
         wq.put(None)
-        rt.join()
         wt.join()
+        if rerr is None:
+            rt.join()           # reader exited right after its sentinel
+        if rerr is not None:
+            raise rerr
         if werr:
             raise werr[0]
 

@@ -78,12 +78,18 @@ def ensure_fastq_streamed(path: str, n_reads: int, read_len: int,
     file is plain `cat` of the parts.  Deterministic for a given
     (n_reads, read_len, seed, chunk)."""
     import gzip
+    import hashlib
     import os
     import shutil
     if os.path.isfile(path):
         return path
     gz = path.endswith('.gz')
-    part_dir = path + '.parts'
+    # Key the part directory by the full parameter set: resuming with a
+    # different seed/chunk/kwargs must NOT splice old-parameter parts into
+    # the new corpus.
+    params = repr((n_reads, read_len, seed, chunk, sorted(kwargs.items())))
+    tag = hashlib.sha1(params.encode()).hexdigest()[:12]
+    part_dir = '%s.parts-%s' % (path, tag)
     os.makedirs(part_dir, exist_ok=True)
     digits = len(str(max(n_reads - 1, 1)))
     parts = []
