@@ -221,3 +221,18 @@ def test_stream_bounded_memory():
     assert rss_big - rss_small < 110, (rss_small, rss_big)
     rss_full = child_rss(big, None)
     assert rss_full - rss_big > 60, (rss_big, rss_full)
+
+
+def test_stream_serial_mode_matches_threaded():
+    """PORECHOP_TPU_NO_READAHEAD=1 (serial loop) and the default
+    reader/writer-threaded pipeline must produce identical bytes."""
+    fixture = os.path.join(FIX, 'test_one_adapter_set.fastq')
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        _run(['-i', fixture, '-o', 'out.fastq', '-v', '1'], d1, 3)
+        os.environ['PORECHOP_TPU_NO_READAHEAD'] = '1'
+        try:
+            _run(['-i', fixture, '-o', 'out.fastq', '-v', '1'], d2, 3)
+        finally:
+            os.environ.pop('PORECHOP_TPU_NO_READAHEAD', None)
+        assert _snapshot(d1) == _snapshot(d2)
