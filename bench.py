@@ -57,7 +57,7 @@ def run_ours(args):
         main(args)
 
 
-def measure_ours(force_host=None, repeats=3):
+def measure_ours(force_host=None, repeats=5):
     """Times the full workload end-to-end; returns reads/s (best of
     `repeats` warm runs — both the tunneled device's per-launch latency
     and the shared build host's CPU are noisy, +/-30% run to run)."""
@@ -136,7 +136,10 @@ def main():
     if os.environ.get('PORECHOP_TPU_FORCE_HOST'):
         reads_per_s, _ = measure_ours(force_host=True)
         backend = 'host-native (forced)'
-    elif not os.environ.get('PORECHOP_BENCH_NO_PROBE') and not probe_tpu():
+    elif (not os.environ.get('PORECHOP_BENCH_NO_PROBE')
+          and not probe_tpu() and not (time.sleep(30) or probe_tpu())):
+        # Two probes 30 s apart: the tunnel flaps on minutes-scale cycles,
+        # and a single unlucky probe would hide a healthy device run.
         reads_per_s, _ = measure_ours(force_host=True)
         backend = 'host-native (tpu probe failed)'
     else:
