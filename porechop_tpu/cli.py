@@ -130,11 +130,12 @@ def _run_pipeline(args):
                                                int(tot[2]), int(tot[3]),
                                                args.print_dest)
             else:
-                allt = multihost.gather_text_blocks(
-                    'p2', ''.join(line + '\n' for line in dumps2))
                 print_end_trim_header(matching_sets, args.print_dest)
-                if allt:
-                    args.print_dest.write(allt)
+                # Streams into print_dest on rank 0 with bounded memory
+                # (chunked allgather rounds; see gather_text_blocks).
+                multihost.gather_text_blocks(
+                    'p2', ''.join(line + '\n' for line in dumps2),
+                    sink=args.print_dest)
                 print('', file=args.print_dest)
                 end_trim_summary_counts(n_total, int(tot[0]), int(tot[1]),
                                         int(tot[2]), int(tot[3]),
@@ -160,16 +161,15 @@ def _run_pipeline(args):
                                                  args.threads,
                                                  args.print_dest)
                 else:
-                    allt = multihost.gather_text_blocks(
-                        'p3', ''.join(line + '\n' for line in dumps3))
                     verb = ('Discarding' if args.discard_middle
                             else 'Splitting')
                     print(bold_underline(
                         verb + ' reads containing middle adapters'),
                         file=args.print_dest)
-                    if allt:
-                        args.print_dest.write(allt)
-                        args.print_dest.flush()
+                    multihost.gather_text_blocks(
+                        'p3', ''.join(line + '\n' for line in dumps3),
+                        sink=args.print_dest)
+                    args.print_dest.flush()
                     middle_summary_counts(int(mid[0]), n_total,
                                           args.discard_middle,
                                           args.print_dest)

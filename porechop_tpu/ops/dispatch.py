@@ -44,6 +44,10 @@ _MIN_LANES = 32     # matches the Pallas kernel's lane-block width
 _HYBRID_CELLS = int(os.environ.get('PORECHOP_TPU_HYBRID_CELLS', 60_000_000))
 
 
+def _noop_progress(idxs):
+    pass
+
+
 def _bucket_len(n: int) -> int:
     for rung in _LADDER:
         if n <= rung:
@@ -124,7 +128,7 @@ class AlignJobs:
     # fraction key is exact only while full_len <= 2048).
     _GROUP_MAX_RUNG = 1536
 
-    def run_group_max(self, group_ids, n_groups) -> dict:
+    def run_group_max(self, group_ids, n_groups, progress=None) -> dict:
         """Group-reduced execution: per group, the best exact identity
         fraction matches/full_len over its jobs (the detection phase's
         per-(adapter set, side) max, reference nanopore_read.py:155-164).
@@ -142,7 +146,7 @@ class AlignJobs:
         self._gacc[:, 1] = 1
         self._dev_grouped = np.zeros(len(self.pairs), dtype=bool)
         try:
-            res = self.run()
+            res = self.run(progress=progress)
         finally:
             group, self._group = self._group, None
             gacc, self._gacc = self._gacc, None
@@ -172,11 +176,19 @@ class AlignJobs:
         return {'matches': gacc[:, 0], 'full_len': gacc[:, 1],
                 'full_pct': seqan_pct_vec(gacc[:, 0], gacc[:, 1])}
 
-    def run(self) -> dict:
+    def run(self, progress=None) -> dict:
         """Executes all jobs; returns dict of (P,) arrays:
         read_start, read_end_excl, full_pct, partial_pct, plus the raw
         integer fields (matches, aligned_len, full_len, raw_score,
-        read_end_incl, adapter_start, adapter_end)."""
+        read_end_incl, adapter_start, adapter_end).
+
+        progress: optional callable(job_indices) invoked as groups of jobs
+        resolve (degenerate fixes, native batches, each device-chunk
+        harvest) — lets callers tick per-read progress DURING the phase
+        instead of after it (reference porechop.py:737-748 ticks every 10
+        reads while computing)."""
+        if progress is None:
+            progress = _noop_progress
         P = len(self.pairs)
         fields = ('read_start', 'read_end', 'adapter_start', 'adapter_end',
                   'raw_score', 'matches', 'aligned_len', 'full_len')
@@ -195,6 +207,7 @@ class AlignJobs:
             for k in np.nonzero(degenerate)[0]:
                 out['read_start'][k] = -1
                 out['raw_score'][k] = -(2 ** 31)
+            progress(np.nonzero(degenerate)[0])
 
         todo = np.nonzero(~degenerate)[0]
         if todo.size == 0:
@@ -205,6 +218,7 @@ class AlignJobs:
             # Host path: the native C++ engine in one threaded batch call
             # (falls back to the Python executable spec per job).
             if self._run_native(todo, out):
+                progress(todo)
                 return self._package(out)
 
         # Bucket by (window rung, adapter rung): adapters pad to the rung,
@@ -224,24 +238,14 @@ class AlignJobs:
         uniq, inv = np.unique(keys, axis=0, return_inverse=True)
         buckets = {(int(u[0]), int(u[1])): todo[inv == g]
                    for g, u in enumerate(uniq)}
-        self._merge_adapter_rungs(buckets)
+        route_small = use_jax and self._native_available()
+        self._merge_adapter_rungs(buckets, route_small)
 
         small = []        # chunks routed to the native host engine
         small_meta = []   # matching (lb, amax, chunk) for device push-back
         device_work = []  # (lb, amax, chunk) launches
-        route_small = use_jax and self._native_available()
         for (lb, amax), idxs in sorted(buckets.items()):
-            idxs = np.asarray(idxs)
-            # Power-of-two launch width: _bucket_lanes pads each chunk up to
-            # a power of two anyway, so a non-pow2 chunk width would pay for
-            # padded lanes AND an extra launch.
-            per_launch = max(_MIN_LANES,
-                             _CELL_BUDGET // ((lb + 1) * amax))
-            per_launch = 1 << max(_MIN_LANES.bit_length() - 1,
-                                  per_launch.bit_length() - 1)
-            for lo in range(0, len(idxs), per_launch):
-                chunk = idxs[lo:lo + per_launch]
-                cells = _bucket_lanes(len(chunk)) * (lb + 1) * amax
+            for chunk, cells in self._chunk_split(np.asarray(idxs), lb, amax):
                 if route_small and cells < _HYBRID_CELLS:
                     small.append(chunk)
                     small_meta.append((lb, amax, chunk))
@@ -272,6 +276,7 @@ class AlignJobs:
                 pending.append((chunk, h))
             else:
                 self._run_chunk(chunk, lb, amax, out, use_jax)
+                progress(chunk)
         if _TIMING and device_work:
             print('[timing] enqueued %d launches in %.3fs'
                   % (len(device_work), time.perf_counter() - t0),
@@ -279,7 +284,9 @@ class AlignJobs:
 
         if small:
             smallcat = np.concatenate(small)
-            if not self._run_native(smallcat, out):
+            if self._run_native(smallcat, out):
+                progress(smallcat)
+            else:
                 # Native engine raced away (e.g. compiler cache wiped):
                 # push the chunks onto the device queue instead.
                 for lb, amax, chunk in small_meta:
@@ -291,10 +298,12 @@ class AlignJobs:
                         pending.append((chunk, h))
                     else:
                         self._run_chunk(chunk, lb, amax, out, use_jax)
+                        progress(chunk)
 
         t0 = time.perf_counter() if _TIMING else 0.0
         for chunk, h in pending:
             self._harvest(chunk, h, out)
+            progress(chunk)
         if _TIMING and pending:
             dt = time.perf_counter() - t0
             cells = int(sum(_bucket_lanes(len(c)) * (lb + 1) * amax
@@ -314,30 +323,76 @@ class AlignJobs:
     _MERGE_CELLS_PER_LAUNCH = int(os.environ.get(
         'PORECHOP_TPU_MERGE_CELLS', 120_000_000))
 
-    def _merge_adapter_rungs(self, buckets) -> None:
-        """Merges same-window-rung buckets whose adapter rungs differ into
-        the widest rung among them, when all of them would launch on the
-        device anyway and the extra adapter padding costs less than the
-        launches saved.  Padding an adapter beyond its length is free
-        correctness-wise (rows past adapter_len are frozen by the engines);
-        this trades bounded pad cells for fewer serialized launches."""
+    @staticmethod
+    def _per_launch(lb, amax):
+        """Power-of-two chunk width under the cell budget (_bucket_lanes
+        pads each chunk up to a power of two anyway, so a non-pow2 chunk
+        width would pay for padded lanes AND an extra launch)."""
+        per_launch = max(_MIN_LANES, _CELL_BUDGET // ((lb + 1) * amax))
+        return 1 << max(_MIN_LANES.bit_length() - 1,
+                        per_launch.bit_length() - 1)
+
+    @classmethod
+    def _chunk_split(cls, idxs, lb, amax):
+        """The launch chunking run() applies to a bucket.
+        Yields (chunk, padded_cells)."""
+        per_launch = cls._per_launch(lb, amax)
+        for lo in range(0, len(idxs), per_launch):
+            chunk = idxs[lo:lo + per_launch]
+            yield chunk, _bucket_lanes(len(chunk)) * (lb + 1) * amax
+
+    def _merge_adapter_rungs(self, buckets, route_small) -> None:
+        """Merges same-window-rung, device-bound work whose adapter rungs
+        differ into the widest rung among them, when the extra adapter
+        padding costs less than the launches saved.  Padding an adapter
+        beyond its length is free correctness-wise (rows past adapter_len
+        are frozen by the engines); this trades bounded pad cells for fewer
+        serialized launches.
+
+        The device-bound test runs on POST-SPLIT chunks (the same split
+        run() will route by), not whole buckets: a sub-threshold tail chunk
+        of a large bucket routes to the native engine and must not be
+        dragged onto the serialized tunnel by a whole-bucket merge
+        (ADVICE r3).  Native-bound tail chunks stay behind in their
+        original (lb, amax) bucket."""
         by_lb = {}
         for (lb, amax), idxs in buckets.items():
             by_lb.setdefault(lb, []).append((amax, idxs))
         for lb, lst in by_lb.items():
-            cand = [(amax, idxs) for amax, idxs in lst
-                    if _bucket_lanes(len(idxs)) * (lb + 1) * amax
-                    >= _HYBRID_CELLS]
+            cand = []     # (amax, device-bound idxs, n device chunks)
+            native_rest = {}
+            for amax, idxs in lst:
+                idxs = np.asarray(idxs)
+                dev_chunks, nat_chunks = [], []
+                for chunk, cells in self._chunk_split(idxs, lb, amax):
+                    if route_small and cells < _HYBRID_CELLS:
+                        nat_chunks.append(chunk)
+                    else:
+                        dev_chunks.append(chunk)
+                if dev_chunks:
+                    cand.append((amax, np.concatenate(dev_chunks),
+                                 len(dev_chunks)))
+                native_rest[amax] = (np.concatenate(nat_chunks)
+                                     if nat_chunks else None)
             if len(cand) < 2:
                 continue
-            target = max(amax for amax, _ in cand)
-            extra = sum(_bucket_lanes(len(idxs)) * (lb + 1) * (target - amax)
-                        for amax, idxs in cand if amax != target)
-            if extra >= (len(cand) - 1) * self._MERGE_CELLS_PER_LAUNCH:
+            target = max(amax for amax, _, _ in cand)
+            extra = sum(_bucket_lanes(len(didx)) * (lb + 1) * (target - amax)
+                        for amax, didx, _ in cand if amax != target)
+            merged_len = sum(len(didx) for _, didx, _ in cand)
+            n_merged = -(-merged_len // self._per_launch(lb, target))
+            saved = sum(n for _, _, n in cand) - n_merged
+            if saved <= 0 or extra >= saved * self._MERGE_CELLS_PER_LAUNCH:
                 continue
-            merged = np.concatenate([idxs for _, idxs in cand])
-            for amax, _ in cand:
-                del buckets[(lb, amax)]
+            merged = np.concatenate([didx for _, didx, _ in cand])
+            for amax, _, _ in cand:
+                rest = native_rest[amax]
+                if rest is not None and amax != target:
+                    buckets[(lb, amax)] = rest
+                else:
+                    del buckets[(lb, amax)]
+            if native_rest.get(target) is not None:
+                merged = np.concatenate([merged, native_rest[target]])
             buckets[(lb, target)] = np.sort(merged)
 
     @staticmethod

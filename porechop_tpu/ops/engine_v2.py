@@ -446,6 +446,37 @@ def _finish_stats_device(walk, best_sc, cell_i, cell_j, rl, la):
     return matches, full_len, failed
 
 
+def _groupmax_reduce(matches, full_len, ok, g_idx, n_groups, axis_name=None):
+    """Per-group best-(matches, full_len) under the exact identity-fraction
+    order, on device.  The primary key is the float32 fraction (exact while
+    full_len <= 2048 — distinct fractions with denominators <= 2048 differ
+    by >= 2^-22 while float32 rounding error is <= 2^-24 per value; the
+    dispatcher guards the window rung accordingly).  Among lanes whose keys
+    collide at the group max — exact-fraction ties AND any residual float32
+    collisions — a packed integer secondary key (matches * 4096 + full_len,
+    valid while full_len < 4096 and matches < 2^19: both hold under the
+    rung guard) elects ONE lane, so the returned pair is always a pair some
+    lane actually produced (ADVICE r3: independent per-field maxes could
+    pair matches from one lane with full_len from another when distinct
+    fractions collide in float32).  For exact-fraction ties this reproduces
+    the host fold's election: with m1/l1 == m2/l2, m1 > m2 implies l1 > l2,
+    so max-matches-first picks the max-full_len lane too.
+    axis_name: mesh axis to pmax-merge across (multi-device shards)."""
+    key = jnp.where(ok, matches.astype(jnp.float32)
+                    / jnp.maximum(full_len, 1).astype(jnp.float32), -1.0)
+    seg = jnp.full((n_groups + 1,), -1.0, jnp.float32).at[g_idx].max(key)
+    if axis_name is not None:
+        seg = lax.pmax(seg, axis_name)
+    lane_best = ok & (key == seg[g_idx])
+    slot = jnp.where(lane_best, g_idx, n_groups)
+    k2 = matches.astype(jnp.int32) * 4096 + full_len.astype(jnp.int32)
+    gk = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(k2)
+    if axis_name is not None:
+        gk = lax.pmax(gk, axis_name)
+    gk = gk[:n_groups]
+    return gk >> 12, gk & 4095
+
+
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _fused_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx, g_idx,
                            wcols, n_groups, match, mismatch, gap_open,
@@ -472,18 +503,7 @@ def _fused_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx, g_idx,
     matches, full_len, failed = _finish_stats_device(
         walk, best_sc, cell_i, cell_j, rl, al)
     ok = (~failed) & (full_len > 0)
-    key = jnp.where(ok, matches.astype(jnp.float32)
-                    / jnp.maximum(full_len, 1).astype(jnp.float32), -1.0)
-    seg = jnp.full((n_groups + 1,), -1.0, jnp.float32).at[g_idx].max(key)
-    lane_best = ok & (key == seg[g_idx])
-    slot = jnp.where(lane_best, g_idx, n_groups)
-    # Among exact-fraction ties the max-matches lane is also the
-    # max-full_len lane (l = m/key), so the two maxes stay consistent.
-    gm = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
-        matches.astype(jnp.int32))
-    gl = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
-        full_len.astype(jnp.int32))
-    return gm[:n_groups], gl[:n_groups]
+    return _groupmax_reduce(matches, full_len, ok, g_idx, n_groups)
 
 
 # ---------------------------------------------------------------------------
@@ -541,21 +561,8 @@ def _sharded_groupmax_fn(mesh, wcols, n_groups, match, mismatch, gap_open,
         matches, full_len, failed = _finish_stats_device(
             walk, best_sc, cell_i, cell_j, rl, al)
         ok = (~failed) & (full_len > 0)
-        key = jnp.where(ok, matches.astype(jnp.float32)
-                        / jnp.maximum(full_len, 1).astype(jnp.float32), -1.0)
-        seg = jnp.full((n_groups + 1,), -1.0, jnp.float32).at[g_idx].max(key)
-        seg = lax.pmax(seg, ax)                      # cross-shard merge
-        lane_best = ok & (key == seg[g_idx])
-        slot = jnp.where(lane_best, g_idx, n_groups)
-        gm = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
-            matches.astype(jnp.int32))
-        gl = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
-            full_len.astype(jnp.int32))
-        # Exact-fraction ties: the global max-matches lane is also the global
-        # max-full_len lane (l = m / key), so per-field pmax stays consistent.
-        gm = lax.pmax(gm, ax)
-        gl = lax.pmax(gl, ax)
-        return gm[:n_groups], gl[:n_groups]
+        return _groupmax_reduce(matches, full_len, ok, g_idx, n_groups,
+                                axis_name=ax)
 
     sm = jax.shard_map(impl, mesh=mesh,
                        in_specs=(P(), P(), P(), P(), P(ax), P(ax), P(ax)),
@@ -584,19 +591,8 @@ def _sharded_dense_groupmax_fn(mesh, wcols, n_groups, match, mismatch,
         matches, full_len, failed = _finish_stats_device(
             walk, best_sc, cell_i, cell_j, wlens, alens)
         ok = (~failed) & (full_len > 0)
-        key = jnp.where(ok, matches.astype(jnp.float32)
-                        / jnp.maximum(full_len, 1).astype(jnp.float32), -1.0)
-        seg = jnp.full((n_groups + 1,), -1.0, jnp.float32).at[g_idx].max(key)
-        seg = lax.pmax(seg, ax)
-        lane_best = ok & (key == seg[g_idx])
-        slot = jnp.where(lane_best, g_idx, n_groups)
-        gm = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
-            matches.astype(jnp.int32))
-        gl = jnp.zeros((n_groups + 1,), jnp.int32).at[slot].max(
-            full_len.astype(jnp.int32))
-        gm = lax.pmax(gm, ax)
-        gl = lax.pmax(gl, ax)
-        return gm[:n_groups], gl[:n_groups]
+        return _groupmax_reduce(matches, full_len, ok, g_idx, n_groups,
+                                axis_name=ax)
 
     sm = jax.shard_map(impl, mesh=mesh,
                        in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
@@ -875,13 +871,44 @@ def supports(scoring) -> bool:
 _use_pallas_cache = None
 
 
+# A failed probe verdict expires after this long: tunnel wedges are
+# transient (the chip recovers in minutes-hours), so a 'bad' verdict must
+# not demote the Pallas kernel forever.  'ok' verdicts never expire.
+_PROBE_BAD_TTL_S = float(os.environ.get('PORECHOP_TPU_PALLAS_RETRY_S',
+                                        str(24 * 3600)))
+
+
+def _read_probe_cache(marker: str, now: float | None = None):
+    """Reads a probe verdict file: True ('ok', persistent), False ('bad'
+    and younger than the retry TTL), or None (absent / expired / unreadable
+    — re-probe).  Split out of _probe_pallas for unit testing."""
+    import time as _time
+
+    try:
+        with open(marker) as f:
+            verdict = f.read().strip()
+    except OSError:
+        return None
+    if verdict == 'ok':
+        return True
+    try:
+        age = (now if now is not None else _time.time()) \
+            - os.path.getmtime(marker)
+    except OSError:
+        return None
+    if age < _PROBE_BAD_TTL_S:
+        return False
+    return None
+
+
 def _probe_pallas() -> bool:
     """One-time safety probe: runs a tiny forward_pallas in a SUBPROCESS with
     a timeout and cross-checks it against the jnp forward.  Some tunneled /
     remote-compile TPU environments have been observed to hang on any
     pallas_call execution while plain XLA runs fine — a hang in a subprocess
-    is survivable, in-process it is not.  The verdict is cached on disk per
-    jax version so later runs skip the probe."""
+    is survivable, in-process it is not.  A good verdict is cached on disk
+    per jax version forever; a bad one expires after _PROBE_BAD_TTL_S so a
+    transient tunnel wedge doesn't permanently disable the kernel."""
     import os
     import subprocess
     import sys
@@ -890,9 +917,9 @@ def _probe_pallas() -> bool:
         'PORECHOP_TPU_NATIVE_CACHE',
         os.path.join(os.path.expanduser('~'), '.cache', 'porechop_tpu'))
     marker = os.path.join(cache_dir, 'pallas_probe_%s' % jax.__version__)
-    if os.path.isfile(marker):
-        with open(marker) as f:
-            return f.read().strip() == 'ok'
+    cached = _read_probe_cache(marker)
+    if cached is not None:
+        return cached
     code = (
         'import os, sys\n'
         'os.environ["PORECHOP_TPU_PALLAS"] = "1"\n'

@@ -341,9 +341,13 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
         wq = queue.Queue(maxsize=2)
         werr = []
 
+        stop = threading.Event()
+
         def reader():
             try:
                 for chunk in chunks():
+                    if stop.is_set():          # pump died: exit quietly
+                        return
                     rq.put(chunk)
                 rq.put(None)
             except BaseException as e:         # incl. SystemExit
@@ -368,20 +372,34 @@ def run_streaming(args, matching_sets, forward_or_reverse_barcodes,
         rt.start()
         wt.start()
         rerr = None
-        while True:
-            item = rq.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                rerr = item
-                break
-            if not werr:        # writer died: stop computing, just drain
-                compute_chunk(item)
-            wq.put(item)
-        wq.put(None)
-        wt.join()
-        if rerr is None:
-            rt.join()           # reader exited right after its sentinel
+        try:
+            while True:
+                item = rq.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    rerr = item
+                    break
+                if not werr:    # writer died: stop computing, just drain
+                    compute_chunk(item)
+                wq.put(item)
+        finally:
+            # Always release both threads — a compute_chunk/wq.put failure
+            # must not leave the writer blocked on wq.get and the reader on
+            # rq.put (in-process callers like the tests would leak blocked
+            # threads and unflushed sinks).  The writer terminates on the
+            # None sentinel (it always drains, so the put can't deadlock);
+            # the reader exits via its stop check once the rq drain below
+            # unblocks its pending put.
+            stop.set()
+            wq.put(None)
+            wt.join()
+            while rt.is_alive():
+                try:
+                    rq.get(timeout=0.1)
+                except queue.Empty:
+                    pass
+            rt.join()
         if rerr is not None:
             raise rerr
         if werr:

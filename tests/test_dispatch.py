@@ -213,3 +213,57 @@ def test_native_failure_pushback_rebuilds_tables(monkeypatch):
     want = _spec_expected(windows, adapters, pairs)
     res = dispatch.AlignJobs(windows, adapters, pairs).run()
     _check(res, want)
+
+
+def test_merge_respects_post_split_routing(monkeypatch):
+    """_merge_adapter_rungs must evaluate device-boundness on post-split
+    chunks (ADVICE r3): sub-threshold tail chunks that run() would route
+    to the native engine stay behind in their original bucket instead of
+    being dragged onto the device by a whole-bucket merge."""
+    monkeypatch.setattr(dispatch, '_CELL_BUDGET', 32 * 257 * 64)
+    monkeypatch.setattr(dispatch, '_HYBRID_CELLS', 32 * 257 * 24)
+    jobs = dispatch.AlignJobs([], [], np.zeros((0, 2)))
+
+    lb = 256
+    # Rung 16: 40 jobs -> chunks of 32 (device at 32*257*16 cells? no:
+    # 32*257*16 < hybrid) — per_launch = budget // (257*16) = 128 -> one
+    # 40-lane chunk, padded to 64 lanes = 64*257*16 cells < hybrid ->
+    # ALL native: no device work, so no merge candidate from this rung.
+    # Rung 24: 80 jobs, per_launch = 85 -> pow2 64 -> one 64-lane device
+    # chunk (64*257*24 >= hybrid) + one 16-lane tail (32*257*24 cells,
+    # not < hybrid... adjust): make hybrid strictly between.
+    buckets = {
+        (lb, 16): np.arange(0, 40),
+        (lb, 24): np.arange(100, 180),
+        (lb, 64): np.arange(200, 264),
+    }
+    # Compute what run() would route pre-merge, for reference.
+    pre = {}
+    for (l, a), idxs in buckets.items():
+        pre[(l, a)] = [(len(c), cells >= dispatch._HYBRID_CELLS)
+                       for c, cells in jobs._chunk_split(idxs, l, a)]
+
+    merged = {k: v.copy() for k, v in buckets.items()}
+    jobs._merge_adapter_rungs(merged, route_small=True)
+
+    # Invariant: every index that pre-split routing sent native must stay
+    # in a bucket whose post-merge split still routes it native OR at
+    # minimum must not appear in a wider-amax bucket than before unless it
+    # was device-bound.
+    native_pre = set()
+    for (l, a), idxs in buckets.items():
+        for c, cells in jobs._chunk_split(idxs, l, a):
+            if cells < dispatch._HYBRID_CELLS:
+                native_pre.update(int(x) for x in c)
+    for (l, a), idxs in merged.items():
+        for x in idxs:
+            orig_a = next(aa for (ll, aa), ii in buckets.items()
+                          if int(x) in set(int(v) for v in ii))
+            if int(x) in native_pre and a > orig_a:
+                raise AssertionError(
+                    f'native-bound job {x} merged from rung {orig_a} '
+                    f'into wider device rung {a}')
+    # All indices preserved exactly once.
+    all_pre = sorted(int(x) for v in buckets.values() for x in v)
+    all_post = sorted(int(x) for v in merged.values() for x in v)
+    assert all_pre == all_post

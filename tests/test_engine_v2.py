@@ -111,3 +111,73 @@ def test_v2_matches_oracle_end_windows():
             np.isnan(want_aln) and np.isnan(floats[0]))
         assert abs(want_full - floats[1]) < 1e-9 or (
             np.isnan(want_full) and np.isnan(floats[1]))
+
+
+def test_probe_cache_verdicts(tmp_path):
+    """Probe cache-file logic: 'ok' persists forever, 'bad' expires after
+    the retry TTL (VERDICT r3 weak #7 — one transient tunnel wedge must not
+    permanently demote the Pallas kernel)."""
+    import os
+
+    marker = str(tmp_path / 'pallas_probe_test')
+
+    # Absent file -> re-probe.
+    assert engine_v2._read_probe_cache(marker) is None
+
+    with open(marker, 'w') as f:
+        f.write('ok')
+    mtime = os.path.getmtime(marker)
+    assert engine_v2._read_probe_cache(marker) is True
+    # 'ok' never expires.
+    assert engine_v2._read_probe_cache(
+        marker, now=mtime + 10 * engine_v2._PROBE_BAD_TTL_S) is True
+
+    with open(marker, 'w') as f:
+        f.write('bad')
+    mtime = os.path.getmtime(marker)
+    # Fresh 'bad' -> skip pallas without re-probing.
+    assert engine_v2._read_probe_cache(marker, now=mtime + 1) is False
+    # Expired 'bad' -> re-probe.
+    assert engine_v2._read_probe_cache(
+        marker, now=mtime + engine_v2._PROBE_BAD_TTL_S + 1) is None
+
+
+def test_groupmax_reduce_pairs_come_from_one_lane():
+    """The group-max reduction must return a (matches, full_len) pair some
+    lane actually produced — under exact-fraction ties the max-matches lane
+    (which is also the max-full_len lane), never a cross-lane mixture
+    (ADVICE r3: independent per-field maxes could mix lanes)."""
+    import jax.numpy as jnp
+
+    # Group 0: exact tie 2/4 == 3/6 -> must elect (3, 6) whole.
+    # Group 1: distinct fractions 5/7 > 2/3 -> must elect (5, 7).
+    # Group 2: no ok lane -> (0, 0).
+    matches = jnp.asarray([2, 3, 5, 2, 9], jnp.int32)
+    full_len = jnp.asarray([4, 6, 7, 3, 9], jnp.int32)
+    ok = jnp.asarray([True, True, True, True, False])
+    g_idx = jnp.asarray([0, 0, 1, 1, 2], jnp.int32)
+    gm, gl = engine_v2._groupmax_reduce(matches, full_len, ok, g_idx, 3)
+    assert list(np.asarray(gm)) == [3, 5, 0]
+    assert list(np.asarray(gl)) == [6, 7, 0]
+
+    # Fuzz: every returned pair must equal one input pair of its group.
+    rng = np.random.default_rng(7)
+    n_groups = 16
+    B = 512
+    m = rng.integers(0, 300, B).astype(np.int32)
+    l = np.maximum(m, rng.integers(1, 2000, B)).astype(np.int32)
+    okv = rng.random(B) < 0.9
+    g = rng.integers(0, n_groups, B).astype(np.int32)
+    gm, gl = (np.asarray(x) for x in engine_v2._groupmax_reduce(
+        jnp.asarray(m), jnp.asarray(l), jnp.asarray(okv), jnp.asarray(g),
+        n_groups))
+    for gi in range(n_groups):
+        lanes = [(int(m[k]), int(l[k])) for k in range(B)
+                 if okv[k] and g[k] == gi]
+        if not lanes:
+            assert (gm[gi], gl[gi]) == (0, 0)
+            continue
+        assert (int(gm[gi]), int(gl[gi])) in lanes, gi
+        # And it is the fraction-max (exact integer comparison).
+        for mm, ll in lanes:
+            assert int(gm[gi]) * ll >= mm * int(gl[gi]), (gi, mm, ll)
