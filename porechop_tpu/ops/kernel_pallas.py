@@ -663,3 +663,259 @@ def supports_shape_tiled(B, L, A) -> bool:
 
 def supports_shape(B, L, A) -> bool:
     return B % LANES == 0 and _round_up(L + 1, 128) <= MAX_L1P
+
+
+# ---------------------------------------------------------------------------
+# Stat-carrying variant: the detection phase consumes ONLY the best
+# full-adapter %identity per (set, side) group (reference
+# porechop/src/alignment.cpp:84-90, nanopore_read.py:155-164), i.e. per lane
+# just (matches, full_len).  The bitmap kernel pays a 1 byte/cell HBM write
+# (~0.8 GB per detection launch) plus a separate HBM-random traceback walk
+# to recover them; this kernel instead PROPAGATES the two quantities through
+# the forward DP — SeqAn-traceback-equivalent tie-breaking at every
+# selection — and emits only (B,) scalars.  No bits, no walk.
+#
+# Per-state payload, packed into one int32 plane per DP matrix:
+#     P = mat * 2^15 + (g + 2^14)
+#   mat = diagonal match count along the walker's path to this state;
+#   g   = read-only (horizontal-gap) path columns at adapter rows < alen —
+#         exactly the gap columns inside the full-adapter span.  With the
+#         free tails appended (finish_v2 semantics, alignment.cpp:26-121):
+#     full_len = alen + g + (cell_i < alen ? rlen - cell_j : 0)
+#   (all alen adapter bases appear as columns; g read-only columns sit
+#   strictly inside the span because adapter rows remain below them; a read
+#   tail lands inside the span iff an adapter tail follows it; trailing gap
+#   columns at row == alen fall outside the span and are never counted.)
+#   Field bounds: g <= L <= 2^14 - 1 (enforced by MAX_L1P), mat <= A <= 512,
+#   so P < 2^25; the prefix-max carry P - w*k keeps the g field >= 1.
+#
+# Payload selection mirrors the walker's tie-breaking (ops/spec.py):
+#   V: extension >= opening;  pre: diagonal >= vertical;
+#   M: pre >= H (diagonal beats gaps, vertical beats horizontal);
+#   H prefix-max: ties keep the SMALLEST opening column (longest run);
+#   scout start cell: V==M -> V payload, elif H==M -> H payload, else M.
+# ---------------------------------------------------------------------------
+
+_PAY_G_BIAS = 1 << 14
+_PAY_MAT = 1 << 15
+
+
+def _stats_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
+                  best_ref, celli_ref, cellj_ref, pay_ref,
+                  m_ref, v_ref, h_ref, pm_ref, pv_ref, ph_ref,
+                  tsc_ref, ti_ref, tpay_ref,
+                  *, A, L1p, LANES, match, mismatch, gap_open, gap_ext,
+                  sdt, neg):
+    """Grid program (b, i): DP row i+1 for lane block b; same scores/scout
+    as _forward_kernel, payload planes instead of trace bits."""
+    i = pl.program_id(1)
+    row = i + 1
+    jcol = lax.broadcasted_iota(jnp.int32, (LANES, L1p), 1)
+    rlen = rlens_ref[:, 0][:, None]
+    alen = alens_ref[:, 0][:, None]
+    col_is_len = jcol == rlen
+    col0 = jcol == 0
+    negs = jnp.int32(neg)
+    P0 = jnp.int32(_PAY_G_BIAS)                  # (mat=0, g=0)
+    PNEG = jnp.int32(-2 ** 31 + 1)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.zeros((LANES, L1p), sdt)
+        v_ref[:] = jnp.full((LANES, L1p), neg, sdt)
+        h_ref[:] = jnp.full((LANES, L1p), neg, sdt)
+        pm_ref[:] = jnp.full((LANES, L1p), P0, jnp.int32)
+        pv_ref[:] = jnp.full((LANES, L1p), P0, jnp.int32)
+        ph_ref[:] = jnp.full((LANES, L1p), P0, jnp.int32)
+        tsc_ref[:] = jnp.zeros((LANES, 1), jnp.int32)   # col best=M(0,len)=0
+        ti_ref[:] = jnp.zeros((LANES, 1), jnp.int32)
+        tpay_ref[:] = jnp.full((LANES, 1), P0, jnp.int32)
+
+    m = m_ref[:].astype(jnp.int32)
+    v = v_ref[:].astype(jnp.int32)
+    pm = pm_ref[:]
+    pv = pv_ref[:]
+    a_code = acode_ref[0].astype(jnp.int32)
+
+    # V matrix (payload: extension >= opening).
+    v_ext = v + gap_ext
+    v_open = m + gap_open
+    vbit = v_ext >= v_open
+    nv = jnp.where(vbit, v_ext, v_open)
+    nv = jnp.where(col0, negs, nv)
+    npv = jnp.where(vbit, pv, pm)
+
+    # Diagonal (payload: previous-row M shifted, +1 match on equal codes).
+    eq = reads_ref[:].astype(jnp.int32) == a_code
+    sub = jnp.where(eq, match, mismatch)
+    m_shift = pltpu.roll(m, 1, 1)
+    pm_shift = pltpu.roll(pm, 1, 1)
+    d = jnp.where(col0, negs, m_shift + sub)
+    pd = pm_shift + jnp.where(eq, _PAY_MAT, 0)
+
+    # pre = max(diag, V), diagonal wins ties; boundary col = fresh start.
+    dwin = d >= nv
+    pre = jnp.where(dwin, d, nv)
+    ppre = jnp.where(dwin, pd, npv)
+    pre = jnp.where(col0, 0, pre)
+    ppre = jnp.where(col0, P0, ppre)
+
+    # H row: prefix max over opening points, carrying the opener's payload;
+    # ties keep the earlier (rolled) opener = the longest run.  w = 1 while
+    # this row's gap columns sit inside the adapter span (row < alen).
+    w = (row <= alen - 1).astype(jnp.int32)                # (LANES, 1)
+    f = pre + gap_open - (jcol + 1) * gap_ext
+    fp = ppre - w * jcol                                   # payload carry
+    n_pass = max(1, (L1p - 1).bit_length())
+    cum, cump = f, fp
+    for k in range(n_pass):
+        sh = 1 << k
+        rolled = pltpu.roll(cum, sh, 1)
+        rolled = jnp.where(jcol < sh, negs, rolled)
+        rolledp = pltpu.roll(cump, sh, 1)
+        take = rolled >= cum                               # earlier k wins ties
+        cum = jnp.where(take, rolled, cum)
+        cump = jnp.where(take, rolledp, cump)
+    cum_shift = pltpu.roll(cum, 1, 1)
+    cump_shift = pltpu.roll(cump, 1, 1)
+    nh = jnp.where(col0, negs, cum_shift + jcol * gap_ext)
+    nh = jnp.maximum(nh, negs)         # storage floor (exact, see NEG16)
+    nph = jnp.where(col0, P0, cump_shift + w * jcol)
+
+    # M (payload: pre >= H keeps diagonal/vertical, else horizontal).
+    prewin = pre >= nh
+    nm = jnp.where(prewin, pre, nh)
+    nm = jnp.where(col0, 0, nm)
+    npm = jnp.where(prewin, ppre, nph)
+    npm = jnp.where(col0, P0, npm)
+
+    # Freeze lanes whose adapter already ended.
+    active = row <= alen
+    m_ref[:] = jnp.where(active, nm, m).astype(sdt)
+    v_ref[:] = jnp.where(active, nv, v).astype(sdt)
+    h_ref[:] = jnp.where(active, nh,
+                         h_ref[:].astype(jnp.int32)).astype(sdt)
+    pm_ref[:] = jnp.where(active, npm, pm)
+    pv_ref[:] = jnp.where(active, npv, pv)
+    ph_ref[:] = jnp.where(active, nph, ph_ref[:])
+
+    # Final-column scout candidate (payload from the walker's start state:
+    # V==M -> V, elif H==M -> H, else M).
+    cand_m = jnp.max(jnp.where(col_is_len, nm, negs), axis=1)
+    cand_v = jnp.max(jnp.where(col_is_len, nv, negs), axis=1)
+    cand_h = jnp.max(jnp.where(col_is_len, nh, negs), axis=1)
+    cpm = jnp.max(jnp.where(col_is_len, npm, PNEG), axis=1)
+    cpv = jnp.max(jnp.where(col_is_len, npv, PNEG), axis=1)
+    cph = jnp.max(jnp.where(col_is_len, nph, PNEG), axis=1)
+    uv = cand_v == cand_m
+    uh = (~uv) & (cand_h == cand_m)
+    cand_p = jnp.where(uv, cpv, jnp.where(uh, cph, cpm))
+    act1 = active[:, 0]
+    better = act1 & (cand_m > tsc_ref[:, 0])
+    b2 = better[:, None]
+    tsc_ref[:] = jnp.where(b2, cand_m[:, None], tsc_ref[:])
+    ti_ref[:] = jnp.where(b2, row, ti_ref[:])
+    tpay_ref[:] = jnp.where(b2, cand_p[:, None], tpay_ref[:])
+
+    # Scout election on the last row.
+    @pl.when(i == A - 1)
+    def _():
+        mf = m_ref[:].astype(jnp.int32)
+        vf = v_ref[:].astype(jnp.int32)
+        hf = h_ref[:].astype(jnp.int32)
+        valid = jcol < rlen
+        key = jnp.where(valid, mf * _JKEY + (_JKEY - 1 - jcol),
+                        jnp.int32(-2 ** 31) + 1)
+        best_key = jnp.max(key, axis=1)
+        row_sc = best_key >> 14
+        j_star = (_JKEY - 1) - (best_key - row_sc * _JKEY)
+        sel = valid & (key == best_key[:, None])
+        row_v = jnp.max(jnp.where(sel, vf, negs), axis=1)
+        row_h = jnp.max(jnp.where(sel, hf, negs), axis=1)
+        rpm = jnp.max(jnp.where(sel, pm_ref[:], PNEG), axis=1)
+        rpv = jnp.max(jnp.where(sel, pv_ref[:], PNEG), axis=1)
+        rph = jnp.max(jnp.where(sel, ph_ref[:], PNEG), axis=1)
+        row_uv = row_v == row_sc
+        row_uh = (~row_uv) & (row_h == row_sc)
+        row_p = jnp.where(row_uv, rpv, jnp.where(row_uh, rph, rpm))
+
+        col_sc, col_i = tsc_ref[:, 0], ti_ref[:, 0]
+        col_wins = col_sc > row_sc
+        best_ref[:, 0] = jnp.where(col_wins, col_sc, row_sc)
+        celli_ref[:, 0] = jnp.where(col_wins, col_i, alen[:, 0])
+        cellj_ref[:, 0] = jnp.where(col_wins, rlen[:, 0], j_star)
+        pay_ref[:, 0] = jnp.where(col_wins, tpay_ref[:, 0], row_p)
+
+
+def forward_stats_pallas_impl(reads, read_lens, adapters, adapter_lens,
+                              match, mismatch, gap_open, gap_ext):
+    """Stat-carrying forward: returns (best_sc, cell_i, cell_j, matches,
+    full_len) — (B,) int32 device arrays, free-tail terms already applied.
+    Same shape constraints as forward_pallas_impl (supports_shape)."""
+    B, L = reads.shape
+    A = adapters.shape[1]
+    L1p = _round_up(L + 1, 128)
+    assert L1p <= MAX_L1P, (L1p, 'bucket too large for the pallas kernel')
+    sdt, neg = _sdt_for(match, mismatch, gap_open, gap_ext, A)
+    LANES = _lanes_for(B, L1p, sdt)
+    assert B % LANES == 0, (B, LANES)
+
+    reads_s = jnp.pad(reads.astype(jnp.int8), ((0, 0), (1, L1p - L - 1)),
+                      constant_values=4)
+    acodes = adapters.astype(jnp.int32).T[:, :, None]
+    rlens = read_lens.astype(jnp.int32).reshape(B, 1)
+    alens = adapter_lens.astype(jnp.int32).reshape(B, 1)
+
+    kernel = functools.partial(
+        _stats_kernel, A=A, L1p=L1p, LANES=LANES, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        sdt=sdt, neg=neg)
+
+    out_shapes = tuple(jax.ShapeDtypeStruct((B, 1), jnp.int32)
+                       for _ in range(4))      # best, cell_i, cell_j, pay
+
+    def small():
+        return pl.BlockSpec((LANES, 1), lambda b, i: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    best, celli, cellj, pay = pl.pallas_call(
+        kernel,
+        grid=(B // LANES, A),
+        in_specs=[
+            pl.BlockSpec((LANES, L1p), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            small(),
+            small(),
+            pl.BlockSpec((1, LANES, 1), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(small(), small(), small(), small()),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((LANES, L1p), sdt),
+            pltpu.VMEM((LANES, L1p), sdt),
+            pltpu.VMEM((LANES, L1p), sdt),
+            pltpu.VMEM((LANES, L1p), jnp.int32),
+            pltpu.VMEM((LANES, L1p), jnp.int32),
+            pltpu.VMEM((LANES, L1p), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(reads_s, alens, rlens, acodes)
+    best = best[:, 0]
+    celli = celli[:, 0]
+    cellj = cellj[:, 0]
+    pay = pay[:, 0]
+    mat = pay >> 15
+    g = (pay & (_PAY_MAT - 1)) - _PAY_G_BIAS
+    al32 = adapter_lens.astype(jnp.int32)
+    rl32 = read_lens.astype(jnp.int32)
+    full_len = al32 + g + jnp.where(celli < al32, rl32 - cellj, 0)
+    return best, celli, cellj, mat, full_len
+
+
+forward_stats_pallas = jax.jit(forward_stats_pallas_impl,
+                               static_argnums=(4, 5, 6, 7))

@@ -73,3 +73,63 @@ def test_pallas_full_result_matches_spec():
                 'raw_score', 'matches', 'aligned_len', 'full_len')}
         exp = {f: getattr(want, f) for f in got}
         assert got == exp, (k, got, exp)
+
+
+@pytest.mark.parametrize('seed,B,L,A', [(1, 32, 60, 12), (2, 64, 150, 24),
+                                        (3, 32, 300, 44), (4, 32, 40, 32)])
+def test_stats_kernel_matches_walk(seed, B, L, A):
+    """The stat-carrying detection kernel must report the exact
+    (raw_score, matches, full_len) of the SeqAn-traceback path — same
+    values the bitmap forward + walk + finish recovers (VERDICT r3
+    task 2: the detection phase consumes only these)."""
+    rng = np.random.default_rng(seed)
+    reads = rng.integers(0, 5, (B, L)).astype(np.int8)
+    rl = rng.integers(1, L + 1, B).astype(np.int32)
+    adps = rng.integers(0, 5, (B, A)).astype(np.int8)
+    al = rng.integers(1, A + 1, B).astype(np.int32)
+    for k in range(0, B, 4):        # low-entropy lanes force score ties
+        reads[k] = rng.integers(0, 2, L)
+        adps[k] = rng.integers(0, 2, A)
+    for k in range(1, B, 3):        # embedded adapters for realistic hits
+        a = adps[k, :al[k]]
+        if rl[k] > al[k]:
+            pos = int(rng.integers(0, rl[k] - al[k]))
+            reads[k, pos:pos + al[k]] = a
+    with pltpu.force_tpu_interpret_mode():
+        best, ci, cj, mat, fl = kernel_pallas.forward_stats_pallas(
+            reads, rl, adps, al, 3, -6, -5, -2)
+    ref = engine_v2.align_batch(reads, rl, adps, al, (3, -6, -5, -2))
+    for k in range(B):
+        got = (int(np.asarray(best)[k]), int(np.asarray(mat)[k]),
+               int(np.asarray(fl)[k]))
+        want = (int(ref['raw_score'][k]), int(ref['matches'][k]),
+                int(ref['full_len'][k]))
+        assert got == want, (k, int(rl[k]), int(al[k]), got, want)
+
+
+def test_fused_groupmax_stats_path_matches_walk_path():
+    """The fused gather+group-max launch with the stats kernel (mode 1)
+    must return the same per-group (matches, full_len) as the bitmap+walk
+    path (mode 0)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    W, Na, L, A = 12, 6, 150, 24
+    wmat = rng.integers(0, 5, (W + 1, L)).astype(np.int8)
+    wlen = rng.integers(20, L + 1, W + 1).astype(np.int32)
+    amat = rng.integers(0, 5, (Na + 1, A)).astype(np.int8)
+    alen = rng.integers(8, A + 1, Na + 1).astype(np.int32)
+    B = 64
+    w_idx = rng.integers(0, W, B).astype(np.int32)
+    a_idx = rng.integers(0, Na, B).astype(np.int32)
+    g_idx = rng.integers(0, 5, B).astype(np.int32)
+    wpk = engine_v2.pack_nibbles(wmat)
+    args = (wpk, jnp.asarray(wlen), jnp.asarray(amat), jnp.asarray(alen),
+            jnp.asarray(w_idx), jnp.asarray(a_idx), jnp.asarray(g_idx),
+            L, 5, 3, -6, -5, -2)
+    gm0, gl0 = (np.asarray(x) for x in
+                engine_v2._fused_gather_groupmax(*args, 0))
+    with pltpu.force_tpu_interpret_mode():
+        gm1, gl1 = (np.asarray(x) for x in
+                    engine_v2._fused_gather_groupmax(*args, 1))
+    assert np.array_equal(gm0, gm1), (gm0, gm1)
+    assert np.array_equal(gl0, gl1), (gl0, gl1)
