@@ -514,6 +514,49 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
                 pend.append((ri, ai))   # re-align same adapter, now masked
                 break
 
+    use_device_replay = False
+    if pend:
+        from ..ops import middle
+        use_device_replay = middle.should_use_device(
+            len(pend), max(len(masked[ri]) for ri, _ in pend),
+            max((len(a) for a in a_code_list), default=1))
+
+    if use_device_replay:
+        # Device-resident replay (SURVEY §7.3): the replay set's masked
+        # reads upload ONCE; every round ships only (lane, adapter row,
+        # mask scalars) down and the 7-tuple fields back — the mask is a
+        # where() on the donated device tensor (ops/middle.py).  Decision
+        # logic below is identical to the host loop.
+        from ..ops import middle
+        runner = middle.ReplayRunner([masked[ri] for ri, _ in pend],
+                                     a_code_list, scoring_scheme_vals)
+        lane_ri = [ri for ri, _ in pend]
+        lane_ai = np.array([ai for _, ai in pend], np.int32)
+        active = np.ones(len(pend), bool)
+        ms = np.zeros(len(pend), np.int32)   # round-0 hit already masked
+        me = np.zeros(len(pend), np.int32)
+        while active.any():
+            a_idx = np.where(active, lane_ai, runner.dummy_row())
+            res = runner.round(a_idx.astype(np.int32), ms, me)
+            ms[:] = 0
+            me[:] = 0
+            for n in np.nonzero(active)[0]:
+                ri, ai = lane_ri[n], int(lane_ai[n])
+                full_score = res['full_pct'][n]
+                if full_score >= middle_threshold:
+                    reads[ri].add_middle_hit(
+                        adapters[ai][0], int(res['read_start'][n]),
+                        int(res['read_end_excl'][n]), full_score,
+                        extra_trim_good_side, extra_trim_bad_side,
+                        start_sequence_names, end_sequence_names)
+                    ms[n] = int(res['read_start'][n])
+                    me[n] = int(res['read_end_excl'][n])
+                elif ai + 1 < n_ad:
+                    lane_ai[n] = ai + 1
+                else:
+                    active[n] = False
+        pend = []
+
     while pend:
         res = AlignJobs([masked[ri] for ri, _ in pend], a_code_list,
                         np.column_stack([

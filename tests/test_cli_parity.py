@@ -136,7 +136,18 @@ def check_parity(args, fixture=None, ours_extra_env=None):
             tempfile.TemporaryDirectory() as d_ref:
         if fixture:
             args = ['-i', os.path.join(FIXTURES, fixture)] + args
-        r_ours = run_ours(args, d_ours)
+        old_env = {}
+        for k, v in (ours_extra_env or {}).items():
+            old_env[k] = os.environ.get(k)
+            os.environ[k] = v
+        try:
+            r_ours = run_ours(args, d_ours)
+        finally:
+            for k, v in old_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         r_ref = run_ref(args, d_ref)
         assert r_ours.returncode == r_ref.returncode, (
             args, r_ours.returncode, r_ref.returncode, r_ours.stderr[-2000:],
@@ -421,3 +432,15 @@ def test_reads_shorter_than_end_size(tmp_path):
     fx = str(tmp_path / 'tiny.fastq')
     _write_fastq(fx, recs)
     check_parity(['-i', fx, '-o', 'out.fastq', '--check_reads', '5'])
+
+
+def test_middle_device_replay_parity():
+    """VERDICT r3 task 3: the device-resident middle-pass replay (masked
+    code tensor kept on device across rounds, ops/middle.py) must be
+    byte-identical to the reference — forced on regardless of the hybrid
+    threshold.  The -v 2 dumps pin per-hit coordinates and scores."""
+    env = {'PORECHOP_TPU_MIDDLE_DEVICE': '1'}
+    check_parity(['-o', 'out.fastq', '-v', '2'], ONE, ours_extra_env=env)
+    check_parity(['-o', 'out.fastq', '-v', '2'], TWO, ours_extra_env=env)
+    check_parity(['-o', 'out.fastq', '-v', '1', '--middle_threshold', '75'],
+                 ONE, ours_extra_env=env)
