@@ -102,24 +102,31 @@ def _align_core(reads, read_lens, adapters, adapter_lens,
     j_idx = jnp.arange(L1, dtype=dtype)[None, :]      # (1, L1)
     jcols = jnp.broadcast_to(j_idx, (B, L1))
 
+    # Initial carries derive from read_lens (x*0 terms) so that under
+    # shard_map they carry the same varying-axis type as the loop outputs
+    # (jax >= 0.9 rejects unvarying-in / varying-out scan carries) — the
+    # group-max fallback runs this core inside the sharded launches.
+    zb = read_lens * 0                                # (B,) zeros, varying
+    zb2 = zb[:, None]
+
     # ---- row 0 boundary: M(0,j) = 0, path = j horizontal columns ----
-    m_sc = jnp.zeros((B, L1), dtype)
-    m_st = jnp.zeros((B, N_STATS, L1), dtype)
+    m_sc = jnp.zeros((B, L1), dtype) + zb2
+    m_st = jnp.zeros((B, N_STATS, L1), dtype) + zb2[:, None]
     m_st = m_st.at[:, S_COLS].set(jcols)
     m_st = m_st.at[:, S_FRC].set(jnp.where(jcols > 0, 0, BIG))
     m_st = m_st.at[:, S_FAC].set(BIG)
     m_st = m_st.at[:, S_LRC].set(jcols - 1)
     m_st = m_st.at[:, S_LAC].set(-1)
 
-    v_sc = jnp.full((B, L1), NEG, dtype)
-    v_st = jnp.zeros((B, N_STATS, L1), dtype)
-    h_sc = jnp.full((B, L1), NEG, dtype)
-    h_st = jnp.zeros((B, N_STATS, L1), dtype)
+    v_sc = jnp.full((B, L1), NEG, dtype) + zb2
+    v_st = jnp.zeros((B, N_STATS, L1), dtype) + zb2[:, None]
+    h_sc = jnp.full((B, L1), NEG, dtype) + zb2
+    h_st = jnp.zeros((B, N_STATS, L1), dtype) + zb2[:, None]
 
     # ---- final-column (j = read_len) candidate from row 0 ----
-    col_best_sc = jnp.zeros((B,), dtype)                   # M(0, len) = 0
+    col_best_sc = zb                                       # M(0, len) = 0
     col_best_st = _gather_one(m_st, read_lens)             # (B, 8)
-    col_best_i = jnp.zeros((B,), dtype)
+    col_best_i = zb
 
     def choose_stats(m_score, v_score, v_stats, h_score, h_stats, m_stats):
         """_correctTraceValue start-cell rule: V==M -> V stats,
@@ -263,6 +270,31 @@ def _align_core(reads, read_lens, adapters, adapter_lens,
     cell_i = jnp.where(col_wins, col_best_i, adapter_lens)
     cell_j = jnp.where(col_wins, read_lens, j_star)
     return best_sc, best_st, cell_i, cell_j
+
+
+def stats_device(best_st, cell_i, cell_j, read_lens, adapter_lens):
+    """jnp twin of the (matches, full_len) fragment of finish_batch, kept
+    on device: the detection group-max fallback (ops/engine_v2
+    ._groupmax_stats_fwd, mode 0) consumes only these two per lane, so the
+    stat-carrying core + this finisher replaces the bitmap forward + walk
+    on backends without the Pallas stats kernel.  Returns
+    (matches, full_len, ok) int32/bool device arrays."""
+    cell_i = cell_i.astype(jnp.int32)
+    cell_j = cell_j.astype(jnp.int32)
+    lr = read_lens.astype(jnp.int32)
+    la = adapter_lens.astype(jnp.int32)
+    cols = best_st[:, S_COLS]
+    matches = best_st[:, S_MATCH]
+    fac = best_st[:, S_FAC]
+    lac = best_st[:, S_LAC]
+    has_rtail = cell_j < lr
+    cols = cols + jnp.where(has_rtail, lr - cell_j, 0)
+    has_atail = cell_i < la
+    fac = jnp.where(has_atail, jnp.minimum(fac, cols), fac)
+    lac = jnp.where(has_atail, cols + (la - cell_i) - 1, lac)
+    full_len = lac - fac + 1
+    ok = (lr > 0) & (la > 0) & (full_len > 0)
+    return matches, full_len, ok
 
 
 def finish_batch(best_sc, best_st, cell_i, cell_j, read_lens, adapter_lens):

@@ -492,16 +492,26 @@ def _groupmax_stats_fwd(reads, rl, adps, al, match, mismatch, gap_open,
     al32 = al.astype(jnp.int32)
     if mode == 1:
         from . import kernel_pallas
-        best, ci, cj, mat, fl = kernel_pallas.forward_stats_pallas_impl(
+        use_t = _stats_transposed() and reads.shape[0] % 128 == 0
+        fwd_stats = (kernel_pallas.forward_stats_pallas_t_impl if use_t
+                     else kernel_pallas.forward_stats_pallas_impl)
+        best, ci, cj, mat, fl = fwd_stats(
             reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
         return mat, fl, (rl32 > 0) & (al32 > 0) & (fl > 0)
-    fwd = _forward_mode(reads, rl, adps, al, match, mismatch, gap_open,
-                        gap_ext, mode)
-    bits, best_sc, cell_i, cell_j, vflag, hflag = fwd
-    walk = _traceback_impl(bits, cell_i, cell_j, vflag, hflag)
-    matches, full_len, failed = _finish_stats_device(
-        walk, best_sc, cell_i, cell_j, rl, al)
-    return matches, full_len, (~failed) & (full_len > 0)
+    # No Pallas: the stat-carrying jnp core (ops/engine_jax.py) + its
+    # device finisher — still no bits materialization and no walk.
+    from . import engine_jax
+    best_sc, best_st, cell_i, cell_j = engine_jax._align_core.__wrapped__(
+        reads.astype(jnp.int8), rl32, adps.astype(jnp.int8), al32,
+        match, mismatch, gap_open, gap_ext)
+    return engine_jax.stats_device(best_st, cell_i, cell_j, rl32, al32)
+
+
+def _stats_transposed() -> bool:
+    """Column-in-sublane stats kernel (default): 150-bp windows pad
+    151->160 instead of 151->256.  PORECHOP_TPU_STATS_T=0 selects the
+    lane-major variant."""
+    return os.environ.get('PORECHOP_TPU_STATS_T', '1') != '0'
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))

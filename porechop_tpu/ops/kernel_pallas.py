@@ -919,3 +919,257 @@ def forward_stats_pallas_impl(reads, read_lens, adapters, adapter_lens,
 
 forward_stats_pallas = jax.jit(forward_stats_pallas_impl,
                                static_argnums=(4, 5, 6, 7))
+
+
+# ---------------------------------------------------------------------------
+# Transposed (column-major) stats kernel: columns in the SUBLANE dimension.
+#
+# The lane-major kernels put DP columns in the lane dimension, whose tile is
+# 128 wide — a 150-bp detection window pads 151 -> 256 columns, a 41% tax on
+# every op (BASELINE.md roofline).  Sublane tiles are 8 wide (32 for int8),
+# so the same window pads 151 -> 160: the whole tax collapses to 6%.  Lanes
+# (the huge batch axis) move to the lane dimension, where padding is free.
+#
+# Second lever: a provable cap on horizontal-run length.  With free end
+# gaps, a path containing an H-run of g columns at adapter row i scores
+#   prefix - (|open| + (g-1)|ext|) + suffix,   suffix <= match*(alen-i),
+# while simply ENDING at the run's start cell (free end gaps!) scores
+# `prefix`.  So any run with |open| + (g-1)|ext| > match*(alen-1) is
+# strictly suboptimal — it can never lie on (or tie into) an elected path,
+# and the H prefix-max only needs a window of
+#   g_max = 1 + (match*(A-1) - |open|) / |ext|
+# columns: ceil(log2(g_max)) passes instead of ceil(log2(L1p)).  Truncated
+# H values are only ever <= the true ones and belong to strictly
+# suboptimal paths, so no election, tie-break, or trace decision on an
+# elected path can change (every H value consulted along an elected path
+# is itself elected and therefore within the window).  Fuzzed against the
+# full-window engines in tests/test_kernel_pallas.py, including
+# adversarial long-gap constructions.
+# ---------------------------------------------------------------------------
+
+
+def _prefix_window(match, gap_open, gap_ext, A, L1p):
+    """Columns of H prefix-max window that can influence any elected path
+    (see note above); margin +2 for the open column and tie inclusion."""
+    if match <= 0:
+        return L1p
+    g = 1 + (match * (A - 1) + abs(gap_open)) // abs(gap_ext) + 2
+    return min(int(g), L1p)
+
+
+def _stats_kernel_t(reads_ref, alens_ref, rlens_ref, acode_ref,
+                    best_ref, celli_ref, cellj_ref, pay_ref,
+                    m_ref, v_ref, h_ref, pm_ref, pv_ref, ph_ref,
+                    tsc_ref, ti_ref, tpay_ref,
+                    *, A, L1p, LANES, match, mismatch, gap_open, gap_ext,
+                    window):
+    """Grid program (b, i): DP row i+1 for lane block b, columns in
+    sublanes.  reads_ref (L1p, LANES) int8 pre-shifted; per-lane vectors
+    (1, LANES); outputs (1, LANES); scratch (L1p, LANES) int32."""
+    i = pl.program_id(1)
+    row = i + 1
+    jcol = lax.broadcasted_iota(jnp.int32, (L1p, LANES), 0)
+    rlen = rlens_ref[0, :][None, :]
+    alen = alens_ref[0, :][None, :]
+    col_is_len = jcol == rlen
+    col0 = jcol == 0
+    negs = jnp.int32(NEG)
+    P0 = jnp.int32(_PAY_G_BIAS)
+    PNEG = jnp.int32(-2 ** 31 + 1)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.zeros((L1p, LANES), jnp.int32)
+        v_ref[:] = jnp.full((L1p, LANES), NEG, jnp.int32)
+        h_ref[:] = jnp.full((L1p, LANES), NEG, jnp.int32)
+        pm_ref[:] = jnp.full((L1p, LANES), P0, jnp.int32)
+        pv_ref[:] = jnp.full((L1p, LANES), P0, jnp.int32)
+        ph_ref[:] = jnp.full((L1p, LANES), P0, jnp.int32)
+        tsc_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        ti_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        tpay_ref[:] = jnp.full((1, LANES), P0, jnp.int32)
+
+    m = m_ref[:]
+    v = v_ref[:]
+    pm = pm_ref[:]
+    pv = pv_ref[:]
+    a_code = acode_ref[0].astype(jnp.int32)              # (1, LANES)
+
+    v_ext = v + gap_ext
+    v_open = m + gap_open
+    vbit = v_ext >= v_open
+    nv = jnp.where(vbit, v_ext, v_open)
+    nv = jnp.where(col0, negs, nv)
+    npv = jnp.where(vbit, pv, pm)
+
+    eq = reads_ref[:].astype(jnp.int32) == a_code
+    sub = jnp.where(eq, match, mismatch)
+    m_shift = pltpu.roll(m, 1, 0)
+    pm_shift = pltpu.roll(pm, 1, 0)
+    d = jnp.where(col0, negs, m_shift + sub)
+    pd = pm_shift + jnp.where(eq, _PAY_MAT, 0)
+
+    dwin = d >= nv
+    pre = jnp.where(dwin, d, nv)
+    ppre = jnp.where(dwin, pd, npv)
+    pre = jnp.where(col0, 0, pre)
+    ppre = jnp.where(col0, P0, ppre)
+
+    w = (row <= alen - 1).astype(jnp.int32)              # (1, LANES)
+    f = pre + gap_open - (jcol + 1) * gap_ext
+    fp = ppre - w * jcol
+    n_pass = max(1, (window - 1).bit_length())
+    cum, cump = f, fp
+    for k in range(n_pass):
+        sh = 1 << k
+        rolled = pltpu.roll(cum, sh, 0)
+        rolled = jnp.where(jcol < sh, negs, rolled)
+        rolledp = pltpu.roll(cump, sh, 0)
+        take = rolled >= cum
+        cum = jnp.where(take, rolled, cum)
+        cump = jnp.where(take, rolledp, cump)
+    cum_shift = pltpu.roll(cum, 1, 0)
+    cump_shift = pltpu.roll(cump, 1, 0)
+    nh = jnp.where(col0, negs, cum_shift + jcol * gap_ext)
+    nh = jnp.maximum(nh, negs)
+    nph = jnp.where(col0, P0, cump_shift + w * jcol)
+
+    prewin = pre >= nh
+    nm = jnp.where(prewin, pre, nh)
+    nm = jnp.where(col0, 0, nm)
+    npm = jnp.where(prewin, ppre, nph)
+    npm = jnp.where(col0, P0, npm)
+
+    active = row <= alen                                 # (1, LANES)
+    m_ref[:] = jnp.where(active, nm, m)
+    v_ref[:] = jnp.where(active, nv, v)
+    h_ref[:] = jnp.where(active, nh, h_ref[:])
+    pm_ref[:] = jnp.where(active, npm, pm)
+    pv_ref[:] = jnp.where(active, npv, pv)
+    ph_ref[:] = jnp.where(active, nph, ph_ref[:])
+
+    cand_m = jnp.max(jnp.where(col_is_len, nm, negs), axis=0)   # (LANES,)
+    cand_v = jnp.max(jnp.where(col_is_len, nv, negs), axis=0)
+    cand_h = jnp.max(jnp.where(col_is_len, nh, negs), axis=0)
+    cpm = jnp.max(jnp.where(col_is_len, npm, PNEG), axis=0)
+    cpv = jnp.max(jnp.where(col_is_len, npv, PNEG), axis=0)
+    cph = jnp.max(jnp.where(col_is_len, nph, PNEG), axis=0)
+    uv = cand_v == cand_m
+    uh = (~uv) & (cand_h == cand_m)
+    cand_p = jnp.where(uv, cpv, jnp.where(uh, cph, cpm))
+    act1 = active[0, :]
+    better = act1 & (cand_m > tsc_ref[0, :])
+    b2 = better[None, :]
+    tsc_ref[:] = jnp.where(b2, cand_m[None, :], tsc_ref[:])
+    ti_ref[:] = jnp.where(b2, row, ti_ref[:])
+    tpay_ref[:] = jnp.where(b2, cand_p[None, :], tpay_ref[:])
+
+    @pl.when(i == A - 1)
+    def _():
+        mf = m_ref[:]
+        vf = v_ref[:]
+        hf = h_ref[:]
+        valid = jcol < rlen
+        key = jnp.where(valid, mf * _JKEY + (_JKEY - 1 - jcol),
+                        jnp.int32(-2 ** 31) + 1)
+        best_key = jnp.max(key, axis=0)                  # (LANES,)
+        row_sc = best_key >> 14
+        j_star = (_JKEY - 1) - (best_key - row_sc * _JKEY)
+        sel = valid & (key == best_key[None, :])
+        row_v = jnp.max(jnp.where(sel, vf, negs), axis=0)
+        row_h = jnp.max(jnp.where(sel, hf, negs), axis=0)
+        rpm = jnp.max(jnp.where(sel, pm_ref[:], PNEG), axis=0)
+        rpv = jnp.max(jnp.where(sel, pv_ref[:], PNEG), axis=0)
+        rph = jnp.max(jnp.where(sel, ph_ref[:], PNEG), axis=0)
+        row_uv = row_v == row_sc
+        row_uh = (~row_uv) & (row_h == row_sc)
+        row_p = jnp.where(row_uv, rpv, jnp.where(row_uh, rph, rpm))
+
+        col_sc, col_i = tsc_ref[0, :], ti_ref[0, :]
+        col_wins = col_sc > row_sc
+        best_ref[0, :] = jnp.where(col_wins, col_sc, row_sc)
+        celli_ref[0, :] = jnp.where(col_wins, col_i, alen[0, :])
+        cellj_ref[0, :] = jnp.where(col_wins, rlen[0, :], j_star)
+        pay_ref[0, :] = jnp.where(col_wins, tpay_ref[0, :], row_p)
+
+
+def _lanes_for_t(B, L1p):
+    """Lane-block width for the transposed kernel: a multiple of 128 (the
+    lane tile) sized to the same element budget as the lane-major kernels."""
+    lanes = max(128, _BLOCK_ELEMS // L1p)
+    lanes = 1 << (lanes.bit_length() - 1)
+    while lanes > 128 and B % lanes:
+        lanes //= 2
+    return lanes
+
+
+def forward_stats_pallas_t_impl(reads, read_lens, adapters, adapter_lens,
+                                match, mismatch, gap_open, gap_ext):
+    """Transposed twin of forward_stats_pallas_impl (same outputs)."""
+    B, L = reads.shape
+    A = adapters.shape[1]
+    L1p = _round_up(L + 1, 32)          # int8 sublane tile
+    assert L1p <= MAX_L1P
+    LANES = _lanes_for_t(B, L1p)
+    assert B % LANES == 0, (B, LANES)
+    window = _prefix_window(match, gap_open, gap_ext, A, L1p)
+
+    reads_s = jnp.pad(reads.astype(jnp.int8), ((0, 0), (1, L1p - L - 1)),
+                      constant_values=4).T                # (L1p, B)
+    acodes = adapters.astype(jnp.int32).T[:, None, :]     # (A, 1, B)
+    rlens = read_lens.astype(jnp.int32).reshape(1, B)
+    alens = adapter_lens.astype(jnp.int32).reshape(1, B)
+
+    kernel = functools.partial(
+        _stats_kernel_t, A=A, L1p=L1p, LANES=LANES, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        window=window)
+
+    out_shapes = tuple(jax.ShapeDtypeStruct((1, B), jnp.int32)
+                       for _ in range(4))
+
+    def vec():
+        return pl.BlockSpec((1, LANES), lambda b, i: (0, b),
+                            memory_space=pltpu.VMEM)
+
+    best, celli, cellj, pay = pl.pallas_call(
+        kernel,
+        grid=(B // LANES, A),
+        in_specs=[
+            pl.BlockSpec((L1p, LANES), lambda b, i: (0, b),
+                         memory_space=pltpu.VMEM),
+            vec(),
+            vec(),
+            pl.BlockSpec((1, 1, LANES), lambda b, i: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(vec(), vec(), vec(), vec()),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((L1p, LANES), jnp.int32),
+            pltpu.VMEM((L1p, LANES), jnp.int32),
+            pltpu.VMEM((L1p, LANES), jnp.int32),
+            pltpu.VMEM((L1p, LANES), jnp.int32),
+            pltpu.VMEM((L1p, LANES), jnp.int32),
+            pltpu.VMEM((L1p, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(reads_s, alens, rlens, acodes)
+    best = best[0]
+    celli = celli[0]
+    cellj = cellj[0]
+    pay = pay[0]
+    mat = pay >> 15
+    g = (pay & (_PAY_MAT - 1)) - _PAY_G_BIAS
+    al32 = adapter_lens.astype(jnp.int32)
+    rl32 = read_lens.astype(jnp.int32)
+    full_len = al32 + g + jnp.where(celli < al32, rl32 - cellj, 0)
+    return best, celli, cellj, mat, full_len
+
+
+forward_stats_pallas_t = jax.jit(forward_stats_pallas_t_impl,
+                                 static_argnums=(4, 5, 6, 7))
