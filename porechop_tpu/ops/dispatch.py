@@ -26,15 +26,26 @@ _TIMING = bool(os.environ.get('PORECHOP_TPU_TIMING'))
 # Window-length ladder: fine-grained at the small end (end windows), then
 # geometric.  One compile per rung actually used.
 _LADDER = [16, 32, 64, 96, 150, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
-           4096, 6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536,
-           98304, 131072, 196608, 262144, 393216, 524288, 786432, 1048576]
+           4096, 6144, 8192, 10240, 12288, 16384, 24576, 32768, 49152,
+           65536, 98304, 131072, 196608, 262144, 393216, 524288, 786432,
+           1048576]
 
-# Cap on B*L1*A DP cells per launch: the dominant HBM object is the trace
-# bitmap (1 byte/cell, ~2x with the traceback's transpose copy), so 2.56e8
-# cells keeps a launch under ~0.75 GB while staying large enough that the
-# ~30 ms tunnel round-trip per launch is amortized (~45 ms of kernel time at
-# the measured 5.7e9 cells/s Pallas rate).
-_CELL_BUDGET = int(os.environ.get('PORECHOP_TPU_CELL_BUDGET', 512_000_000))
+# Cap on B*L1*A DP cells per launch for the bitmap (traceback) path: the
+# dominant HBM object is the trace bitmap (1 byte/cell), and the on-device
+# walk's flat int32 gather additionally requires lanes * L1p * A < 2^31
+# (enforced in _per_launch).  1.6e9 cells ~= 1.6 GB of bits per launch —
+# well inside a v5e's 16 GB HBM — and launches this big amortize the
+# ~30 ms serialized tunnel round trip (r4 measured: the 8192-read middle
+# phase was 40 launches of 3e8 cells, launch count dominated its wall).
+_CELL_BUDGET = int(os.environ.get('PORECHOP_TPU_CELL_BUDGET',
+                                  2_000_000_000))
+# Group-max (detection) launches run the stat-carrying kernel: NO trace
+# bitmap, no walk, VMEM-resident state — HBM holds only the int8 inputs
+# and four int32 scalars per lane, so the budget is set by keeping the
+# input block modest (~6e9 cells at the 160x24 detection shape is ~1.5M
+# lanes = 250 MB of codes), not by a per-cell byte.
+_GM_CELL_BUDGET = int(os.environ.get('PORECHOP_TPU_GM_CELL_BUDGET',
+                                     6_000_000_000))
 _MIN_LANES = 32     # matches the Pallas kernel's lane-block width
 
 # Launches smaller than this many (padded) DP cells run on the native host
@@ -234,10 +245,13 @@ class AlignJobs:
         ai = np.searchsorted(alad, pa[todo], side='left')
         amv = np.where(ai < len(alad), alad[np.minimum(ai, len(alad) - 1)],
                        ((pa[todo] + 127) // 128) * 128)
-        keys = np.stack([lbv, amv], axis=1)
-        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-        buckets = {(int(u[0]), int(u[1])): todo[inv == g]
-                   for g, u in enumerate(uniq)}
+        # Scalar-key unique: np.unique(axis=0) argsorts a structured view
+        # (measured 1.7 s at 1M detection pairs); a packed int64 key sorts
+        # 20x faster.  amv < 2^20 always (adapters are <= ~300 bp).
+        key1 = lbv * (1 << 20) + amv
+        uniq, inv = np.unique(key1, return_inverse=True)
+        buckets = {(int(k >> 20), int(k & ((1 << 20) - 1))): todo[inv == g]
+                   for g, k in enumerate(uniq)}
         route_small = use_jax and self._native_available()
         self._merge_adapter_rungs(buckets, route_small)
 
@@ -323,20 +337,33 @@ class AlignJobs:
     _MERGE_CELLS_PER_LAUNCH = int(os.environ.get(
         'PORECHOP_TPU_MERGE_CELLS', 120_000_000))
 
-    @staticmethod
-    def _per_launch(lb, amax):
+    def _is_groupmax_rung(self, lb) -> bool:
+        """Chunks of this window rung will launch through the group-max
+        (stat-carrying, bitless) path."""
+        return self._group is not None and lb <= self._GROUP_MAX_RUNG
+
+    def _per_launch(self, lb, amax):
         """Power-of-two chunk width under the cell budget (_bucket_lanes
         pads each chunk up to a power of two anyway, so a non-pow2 chunk
-        width would pay for padded lanes AND an extra launch)."""
-        per_launch = max(_MIN_LANES, _CELL_BUDGET // ((lb + 1) * amax))
-        return 1 << max(_MIN_LANES.bit_length() - 1,
-                        per_launch.bit_length() - 1)
+        width would pay for padded lanes AND an extra launch).  Group-max
+        rungs take the larger bitless budget; bitmap rungs are additionally
+        clamped so the traceback's flat int32 gather index
+        lanes * L1p * A stays below 2^31 (engine_v2._traceback_impl)."""
+        gm = self._is_groupmax_rung(lb)
+        budget = _GM_CELL_BUDGET if gm else _CELL_BUDGET
+        per_launch = max(_MIN_LANES, budget // ((lb + 1) * amax))
+        per_launch = 1 << max(_MIN_LANES.bit_length() - 1,
+                              per_launch.bit_length() - 1)
+        if not gm:
+            l1p = ((lb + 1 + 127) // 128) * 128
+            while per_launch > _MIN_LANES and per_launch * l1p * amax >= 2 ** 31:
+                per_launch //= 2
+        return per_launch
 
-    @classmethod
-    def _chunk_split(cls, idxs, lb, amax):
+    def _chunk_split(self, idxs, lb, amax):
         """The launch chunking run() applies to a bucket.
         Yields (chunk, padded_cells)."""
-        per_launch = cls._per_launch(lb, amax)
+        per_launch = self._per_launch(lb, amax)
         for lo in range(0, len(idxs), per_launch):
             chunk = idxs[lo:lo + per_launch]
             yield chunk, _bucket_lanes(len(chunk)) * (lb + 1) * amax
@@ -605,6 +632,13 @@ class AlignJobs:
                 out['full_len'][k] = r.full_len
 
     def _package(self, out):
+        if self._group is not None:
+            # Group-max mode: the only consumer is run_group_max's fold of
+            # the non-device-grouped remainder, which reads the raw integer
+            # fields — skip the two P-wide percent computations (measured
+            # 0.3-0.6 s at 1M detection pairs, all of it wasted when every
+            # lane was reduced on device).
+            return dict(out)
         full_pct = seqan_pct_vec(out['matches'], out['full_len'])
         partial_pct = seqan_pct_vec(out['matches'], out['aligned_len'])
         failed = out['read_start'] == -1

@@ -1,5 +1,12 @@
 """Batched TPU-native alignment engine (pure jax.numpy + lax).
 
+Production role: the detection group-max fallback — wherever the Pallas
+stat-carrying kernel is unavailable (CPU backends, probe-failed chips),
+ops/engine_v2._groupmax_stats_fwd runs this core + stats_device to get
+per-lane (matches, full_len) with no trace-bits materialization and no
+traceback walk.  PORECHOP_TPU_ENGINE=v1 also selects it for full
+coordinate-carrying alignment (a second opinion on the bitmap engine).
+
 Implements the forward stat-carrying formulation of ops/spec.py as a single
 jitted program:
 
