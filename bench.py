@@ -29,10 +29,13 @@ N_READS = int(os.environ.get('PORECHOP_BENCH_READS', '512'))
 READ_LEN = int(os.environ.get('PORECHOP_BENCH_READ_LEN', '10000'))
 FASTQ = '/tmp/porechop_bench_%dx%d.fastq' % (N_READS, READ_LEN)
 
-# Reference Porechop reads/s on this workload, measured on the build host
-# (2-vCPU, default threads=min(cpu,16)=2).  See BASELINE.md for the
-# measurement table; re-measure with PORECHOP_BENCH_MEASURE_REF=1.
-REF_READS_PER_S_DEFAULT = 55.4   # 512 reads / 9.24 s, 2-vCPU build host
+# Reference Porechop reads/s per workload size, measured on the build host
+# (2-vCPU, default threads=min(cpu,16)=2; 10 kb reads; 2026-08-20 sweep,
+# tools/bench_curve.py --ref).  See BASELINE.md for the measurement table;
+# re-measure with PORECHOP_BENCH_MEASURE_REF=1.
+REF_READS_PER_S_BY_SIZE = {512: 61.2, 2048: 58.0, 4096: 56.1, 8192: 57.6,
+                           16384: 71.1}
+REF_READS_PER_S_DEFAULT = REF_READS_PER_S_BY_SIZE.get(N_READS, 57.0)
 
 
 def probe_tpu(timeout_s=90) -> bool:
@@ -84,11 +87,19 @@ def measure_ours(force_host=None, repeats=5):
     return N_READS / best, N_READS / median, best
 
 
-def measure_tpu_guarded(timeout_s=900):
+def measure_tpu_guarded(timeout_s=None):
     """Runs the device-path measurement in a SUBPROCESS with a hard
     timeout: the tunneled chip has been observed to wedge mid-run (not
     just at probe time), and an in-process hang here would stall the
-    whole driver.  Returns reads/s or None."""
+    whole driver.  Returns reads/s or None.
+
+    The default timeout must cover a fully COLD first run: the Pallas
+    probe plus the Mosaic/XLA compiles pay 30-150 s each through the
+    remote-compile helper and don't all land in the persistent cache
+    (measured: 520 s warmup at 8192 reads on a wiped cache)."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get('PORECHOP_BENCH_TPU_TIMEOUT',
+                                         '1800'))
     code = ('import sys\n'
             'sys.path.insert(0, %r)\n'
             'import bench\n'

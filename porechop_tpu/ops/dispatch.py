@@ -96,6 +96,18 @@ def _use_jax() -> bool:
         return False
 
 
+def stats_path_active(scoring=(3, -6, -5, -2)) -> bool:
+    """Whether AlignJobs.run_stats would route bulk work through the device
+    stats kernels.  When the device path is off (forced host, no jax, or an
+    unsupported scoring scheme) the full run computes coordinates anyway,
+    so a separate coordinate pass for hits would be pure overhead — callers
+    should keep the single-pass flow."""
+    if not _use_jax():
+        return False
+    from . import engine_jax
+    return engine_jax.supports(scoring)
+
+
 def seqan_pct_vec(matches: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Vectorized percent identity matching the reference's round trip
     through C++ std::to_string (6 decimals) and Python float().
@@ -134,6 +146,8 @@ class AlignJobs:
         self._group = None          # (group_ids, n_groups) in group-max mode
         self._gacc = None           # (n_groups, 2) int64 best (m, l)
         self._dev_grouped = None    # lanes already folded on device
+        self._stats_only = False    # run_stats mode: no coordinate recovery
+        self._stats_failed = None   # (P,) bool: device-stats lanes with ok=0
 
     # Window rungs above this bypass the device group-max (its float32
     # fraction key is exact only while full_len <= 2048).
@@ -186,6 +200,32 @@ class AlignJobs:
             gacc[upd, 1] = best_l[upd]
         return {'matches': gacc[:, 0], 'full_len': gacc[:, 1],
                 'full_pct': seqan_pct_vec(gacc[:, 0], gacc[:, 1])}
+
+    def run_stats(self, progress=None) -> dict:
+        """Percent-identity-only execution: returns {'matches', 'full_len',
+        'full_pct'} of shape (P,) and skips coordinate recovery entirely.
+        Device chunks run the stat-carrying forward (no trace bitmap, no
+        traceback walk — engine_v2.align_batch_gather_stats_async); native
+        and fallback chunks compute full results and keep only the stats.
+        For consumers that branch on full_pct and recompute coordinates for
+        the rare passing pairs — the middle-adapter scan tests every
+        (read, adapter) pair but consumes coordinates only on hits
+        (reference nanopore_read.py:216-243)."""
+        self._stats_only = True
+        self._stats_failed = np.zeros(len(self.pairs), dtype=bool)
+        try:
+            res = self.run(progress=progress)
+        finally:
+            self._stats_only = False
+            failed, self._stats_failed = self._stats_failed, None
+        # Host-computed lanes signal failure via read_start == -1
+        # (align_adapter's zeros, reference nanopore_read.py:481-485);
+        # device-stats lanes via the harvested ok flag.
+        failed |= res['read_start'] == -1
+        full_pct = seqan_pct_vec(res['matches'], res['full_len'])
+        full_pct = np.where(failed | (res['full_len'] <= 0), 0.0, full_pct)
+        return {'matches': res['matches'], 'full_len': res['full_len'],
+                'full_pct': full_pct}
 
     def run(self, progress=None) -> dict:
         """Executes all jobs; returns dict of (P,) arrays:
@@ -342,14 +382,22 @@ class AlignJobs:
         (stat-carrying, bitless) path."""
         return self._group is not None and lb <= self._GROUP_MAX_RUNG
 
+    def _is_stats_rung(self, lb, amax) -> bool:
+        """Chunks of this rung will launch through the per-lane stats
+        (stat-carrying, bitless) path in run_stats mode."""
+        if not self._stats_only:
+            return False
+        from . import engine_v2
+        return engine_v2.stats_mode_ok(lb, amax)
+
     def _per_launch(self, lb, amax):
         """Power-of-two chunk width under the cell budget (_bucket_lanes
         pads each chunk up to a power of two anyway, so a non-pow2 chunk
-        width would pay for padded lanes AND an extra launch).  Group-max
-        rungs take the larger bitless budget; bitmap rungs are additionally
-        clamped so the traceback's flat int32 gather index
-        lanes * L1p * A stays below 2^31 (engine_v2._traceback_impl)."""
-        gm = self._is_groupmax_rung(lb)
+        width would pay for padded lanes AND an extra launch).  Bitless
+        rungs (group-max or per-lane stats) take the larger budget; bitmap
+        rungs are additionally clamped so the traceback's flat int32 gather
+        index lanes * L1p * A stays below 2^31 (engine_v2._traceback_impl)."""
+        gm = self._is_groupmax_rung(lb) or self._is_stats_rung(lb, amax)
         budget = _GM_CELL_BUDGET if gm else _CELL_BUDGET
         per_launch = max(_MIN_LANES, budget // ((lb + 1) * amax))
         per_launch = 1 << max(_MIN_LANES.bit_length() - 1,
@@ -506,6 +554,12 @@ class AlignJobs:
                 n_groups, self.scoring, wcols=wcols)
             return ('gm', gm_gl)
 
+        if self._is_stats_rung(lb, amax):
+            st = engine_v2.align_batch_gather_stats_async(
+                wpk_d, wlen_d, amat_d, alen_d, w_idx, a_idx, self.scoring,
+                wcols=wcols)
+            return ('st', st)
+
         h = engine_v2.align_batch_gather_async(wpk_d, wlen_d, amat_d, alen_d,
                                                w_idx, a_idx, self.scoring,
                                                wcols=wcols)
@@ -523,6 +577,11 @@ class AlignJobs:
             self._gacc[better, 0] = gm[better]
             self._gacc[better, 1] = gl[better]
             self._dev_grouped[chunk] = True
+            return
+        if kind == 'st':
+            out['matches'][chunk] = np.asarray(h[0]).astype(np.int64)[:B]
+            out['full_len'][chunk] = np.asarray(h[1]).astype(np.int64)[:B]
+            self._stats_failed[chunk] = ~np.asarray(h[2])[:B]
             return
         res = engine_v2.finish_gather(h)
         for f in out:
@@ -632,12 +691,12 @@ class AlignJobs:
                 out['full_len'][k] = r.full_len
 
     def _package(self, out):
-        if self._group is not None:
-            # Group-max mode: the only consumer is run_group_max's fold of
-            # the non-device-grouped remainder, which reads the raw integer
-            # fields — skip the two P-wide percent computations (measured
-            # 0.3-0.6 s at 1M detection pairs, all of it wasted when every
-            # lane was reduced on device).
+        if self._group is not None or self._stats_only:
+            # Group-max / stats mode: the consumers (run_group_max's fold
+            # of the non-device-grouped remainder, run_stats) read the raw
+            # integer fields — skip the two P-wide percent computations
+            # (measured 0.3-0.6 s at 1M detection pairs, all of it wasted
+            # when every lane was reduced on device).
             return dict(out)
         full_pct = seqan_pct_vec(out['matches'], out['full_len'])
         partial_pct = seqan_pct_vec(out['matches'], out['aligned_len'])

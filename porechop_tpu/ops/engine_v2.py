@@ -492,7 +492,8 @@ def _groupmax_stats_fwd(reads, rl, adps, al, match, mismatch, gap_open,
     al32 = al.astype(jnp.int32)
     if mode == 1:
         from . import kernel_pallas
-        use_t = _stats_transposed() and reads.shape[0] % 128 == 0
+        use_t = (_stats_transposed() and reads.shape[0] % 128 == 0
+                 and reads.shape[1] < _STATS_T_MAX_L)
         fwd_stats = (kernel_pallas.forward_stats_pallas_t_impl if use_t
                      else kernel_pallas.forward_stats_pallas_impl)
         best, ci, cj, mat, fl = fwd_stats(
@@ -512,6 +513,26 @@ def _stats_transposed() -> bool:
     151->160 instead of 151->256.  PORECHOP_TPU_STATS_T=0 selects the
     lane-major variant."""
     return os.environ.get('PORECHOP_TPU_STATS_T', '1') != '0'
+
+
+# Above this many DP columns the lane-major stats kernel wins over the
+# transposed one: the transposed layout's advantage is killing the
+# 128-wide lane-tile padding on SHORT windows (151 -> 160 vs 151 -> 256);
+# long windows pad ~1% either way while the transposed kernel pays
+# sublane-granularity shifts over thousands of sublanes.
+_STATS_T_MAX_L = int(os.environ.get('PORECHOP_TPU_STATS_T_MAX_L', '2048'))
+
+
+def stats_mode_ok(L, A) -> bool:
+    """Whether the per-lane stats path has a fast implementation for this
+    padded (window, adapter) shape: the single-tile stat-carrying Pallas
+    kernel (L+1 <= 16 K), or the jnp stat-carrying core when Pallas is off.
+    Shapes only the column-tiled bitmap kernel can take fall back to the
+    full bitmap+walk launch."""
+    if not _use_pallas():
+        return True
+    from . import kernel_pallas
+    return kernel_pallas.supports_shape(kernel_pallas.LANES, L, A)
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
@@ -536,6 +557,24 @@ def _fused_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx, g_idx,
     matches, full_len, ok = _groupmax_stats_fwd(
         reads, rl, adps, al, match, mismatch, gap_open, gap_ext, use_pallas)
     return _groupmax_reduce(matches, full_len, ok, g_idx, n_groups)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _fused_gather_stats(wpk, wlens, amat, alens, w_idx, a_idx, wcols,
+                        match, mismatch, gap_open, gap_ext, use_pallas):
+    """Per-lane stat-carrying twin of _fused_gather: gather + nibble unpack
+    + stats forward, returning (matches, full_len, ok) per lane — NO trace
+    bitmap and no walk.  For consumers that branch on the full-length
+    percent identity alone and recompute coordinates only for the rare
+    passing pairs: the middle-adapter scan tests full_score >= threshold
+    for every (read, adapter) pair but consumes (read_start, read_end)
+    only on hits (reference nanopore_read.py:216-243)."""
+    reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+    rl = jnp.take(wlens, w_idx)
+    adps = jnp.take(amat, a_idx, axis=0)
+    al = jnp.take(alens, a_idx)
+    return _groupmax_stats_fwd(reads, rl, adps, al, match, mismatch,
+                               gap_open, gap_ext, use_pallas)
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +611,28 @@ def _sharded_gather_fn(mesh, wcols, match, mismatch, gap_open, gap_ext,
     sm = jax.shard_map(impl, mesh=mesh,
                        in_specs=(P(), P(), P(), P(), P(ax), P(ax)),
                        out_specs=(P(ax), P(ax), P(ax), P(ax)))
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_stats_fn(mesh, wcols, match, mismatch, gap_open, gap_ext,
+                      mode):
+    """Mesh-sharded twin of _fused_gather_stats: tables replicated, lanes
+    sharded; per-lane outputs stay sharded (no collective needed)."""
+    ax = _mesh_axis(mesh)
+    from jax.sharding import PartitionSpec as P
+
+    def impl(wpk, wlens, amat, alens, w_idx, a_idx):
+        reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+        rl = jnp.take(wlens, w_idx)
+        adps = jnp.take(amat, a_idx, axis=0)
+        al = jnp.take(alens, a_idx)
+        return _groupmax_stats_fwd(reads, rl, adps, al, match, mismatch,
+                                   gap_open, gap_ext, mode)
+
+    sm = jax.shard_map(impl, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), P(ax), P(ax)),
+                       out_specs=(P(ax), P(ax), P(ax)))
     return jax.jit(sm)
 
 
@@ -691,6 +752,38 @@ def align_batch_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx,
         wpk, wlens, amat, alens, w_idx, a_idx, g_idx, n_groups, scoring,
         wcols)
     return (np.asarray(gm).astype(np.int64), np.asarray(gl).astype(np.int64))
+
+
+def align_batch_gather_stats_async(wpk, wlens, amat, alens, w_idx, a_idx,
+                                   scoring=(3, -6, -5, -2), wcols=None):
+    """Enqueues the per-lane stats launch and returns the (matches,
+    full_len, ok) device arrays WITHOUT blocking.  Caller should gate the
+    padded shape with stats_mode_ok."""
+    assert supports(scoring)
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    if wcols is None:
+        wcols = 2 * wpk.shape[1]
+    B = len(w_idx)
+    m = _active_mesh(B)
+    if m is not None:
+        from ..parallel import mesh as pmesh
+        sb = pmesh.batch_sharding(m)
+        rep = pmesh.replicated(m)
+        mode = _pallas_mode(B // m.devices.size, int(wcols), amat.shape[1])
+        fn = _sharded_stats_fn(m, int(wcols), match, mismatch, gap_open,
+                               gap_ext, mode)
+        return fn(jax.device_put(jnp.asarray(wpk, jnp.uint8), rep),
+                  jax.device_put(jnp.asarray(wlens, jnp.int32), rep),
+                  jax.device_put(jnp.asarray(amat, jnp.int8), rep),
+                  jax.device_put(jnp.asarray(alens, jnp.int32), rep),
+                  jax.device_put(jnp.asarray(w_idx, jnp.int32), sb),
+                  jax.device_put(jnp.asarray(a_idx, jnp.int32), sb))
+    return _fused_gather_stats(
+        jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
+        jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
+        jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
+        int(wcols), match, mismatch, gap_open, gap_ext,
+        _pallas_mode(B, int(wcols), amat.shape[1]))
 
 
 def align_batch_gather_async(wpk, wlens, amat, alens, w_idx, a_idx,
@@ -899,12 +992,20 @@ _use_pallas_cache = None
 # not demote the Pallas kernel forever.  'ok' verdicts never expire.
 _PROBE_BAD_TTL_S = float(os.environ.get('PORECHOP_TPU_PALLAS_RETRY_S',
                                         str(24 * 3600)))
+# A probe that merely TIMED OUT gets a much shorter TTL: on a shared
+# build host the probe subprocess can starve behind concurrent device
+# work (observed: a curve sweep holding the tunnel pushed the probe past
+# 180 s and poisoned the verdict for a day), and unlike a mismatch or a
+# crash, a timeout says nothing about the kernel itself.
+_PROBE_TIMEOUT_TTL_S = float(os.environ.get(
+    'PORECHOP_TPU_PALLAS_TIMEOUT_RETRY_S', '900'))
 
 
 def _read_probe_cache(marker: str, now: float | None = None):
-    """Reads a probe verdict file: True ('ok', persistent), False ('bad'
-    and younger than the retry TTL), or None (absent / expired / unreadable
-    — re-probe).  Split out of _probe_pallas for unit testing."""
+    """Reads a probe verdict file: True ('ok', persistent), False ('bad' /
+    'bad-timeout' and younger than its retry TTL), or None (absent /
+    expired / unreadable — re-probe).  Split out of _probe_pallas for unit
+    testing."""
     import time as _time
 
     try:
@@ -919,7 +1020,9 @@ def _read_probe_cache(marker: str, now: float | None = None):
             - os.path.getmtime(marker)
     except OSError:
         return None
-    if age < _PROBE_BAD_TTL_S:
+    ttl = (_PROBE_TIMEOUT_TTL_S if verdict == 'bad-timeout'
+           else _PROBE_BAD_TTL_S)
+    if age < ttl:
         return False
     return None
 
@@ -962,18 +1065,26 @@ def _probe_pallas() -> bool:
         'print("PALLAS_PROBE_OK" if ok else "PALLAS_PROBE_MISMATCH")\n'
     ) % os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    timed_out = False
     try:
+        # Default generous: a cold probe pays the full Mosaic+XLA compile
+        # through the remote-compile helper (measured 150 s idle on the
+        # tunneled rig — Pallas compiles don't land in the persistent
+        # cache), and a timeout wrongly demotes the kernel for every run
+        # until the TTL expires.
         r = subprocess.run([sys.executable, '-c', code], capture_output=True,
                            timeout=float(os.environ.get(
-                               'PORECHOP_TPU_PALLAS_PROBE_TIMEOUT', '180')))
+                               'PORECHOP_TPU_PALLAS_PROBE_TIMEOUT', '600')))
         ok = r.returncode == 0 and b'PALLAS_PROBE_OK' in r.stdout
+    except subprocess.TimeoutExpired:
+        ok, timed_out = False, True
     except Exception:
         ok = False
     try:
         os.makedirs(cache_dir, exist_ok=True)
         tmp = marker + '.%d.tmp' % os.getpid()
         with open(tmp, 'w') as f:
-            f.write('ok' if ok else 'bad')
+            f.write('ok' if ok else ('bad-timeout' if timed_out else 'bad'))
         os.replace(tmp, marker)
     except OSError:
         pass

@@ -148,6 +148,27 @@ def test_run_group_max_matches_spec(monkeypatch, device_path):
         res['full_pct'], want_pct)
 
 
+@pytest.mark.parametrize('device_path', [True, False])
+def test_run_stats_matches_run(monkeypatch, device_path):
+    """run_stats (per-lane stat-carrying launches, no coordinate recovery)
+    must return the exact (matches, full_len, full_pct) of the full run —
+    the middle phase's round-0 threshold decisions ride on it."""
+    monkeypatch.delenv('PORECHOP_TPU_FORCE_HOST', raising=False)
+    if device_path:
+        monkeypatch.setattr(dispatch, '_HYBRID_CELLS', 0)
+    rng = np.random.default_rng(21)
+    windows, adapters, pairs = _random_jobs(rng, n_pairs=130)
+    # A couple of degenerate jobs: empty window -> failure -> full_pct 0.
+    windows[0] = np.zeros(0, dtype=np.int8)
+    full = dispatch.AlignJobs(windows, adapters, pairs).run()
+    st = dispatch.AlignJobs(windows, adapters, pairs).run_stats()
+    deg = np.asarray(pairs)[:, 0] == 0
+    assert np.array_equal(st['matches'][~deg], full['matches'][~deg])
+    assert np.array_equal(st['full_len'][~deg], full['full_len'][~deg])
+    assert np.array_equal(st['full_pct'], full['full_pct'])
+    assert (st['full_pct'][deg] == 0.0).all()
+
+
 def test_degenerate_jobs():
     """Empty windows/adapters resolve host-side as failures (read_start=-1
     -> zeroed percentages, reference nanopore_read.py:481-485)."""

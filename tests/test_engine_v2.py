@@ -141,6 +141,15 @@ def test_probe_cache_verdicts(tmp_path):
     assert engine_v2._read_probe_cache(
         marker, now=mtime + engine_v2._PROBE_BAD_TTL_S + 1) is None
 
+    # A probe that merely timed out (device contention on a shared host,
+    # not a kernel defect) expires on the much shorter timeout TTL.
+    with open(marker, 'w') as f:
+        f.write('bad-timeout')
+    mtime = os.path.getmtime(marker)
+    assert engine_v2._read_probe_cache(marker, now=mtime + 1) is False
+    assert engine_v2._read_probe_cache(
+        marker, now=mtime + engine_v2._PROBE_TIMEOUT_TTL_S + 1) is None
+
 
 def test_groupmax_reduce_pairs_come_from_one_lane():
     """The group-max reduction must return a (matches, full_len) pair some

@@ -76,7 +76,8 @@ def test_pallas_full_result_matches_spec():
 
 
 @pytest.mark.parametrize('seed,B,L,A', [(1, 32, 60, 12), (2, 64, 150, 24),
-                                        (3, 32, 300, 44), (4, 32, 40, 32)])
+                                        (3, 32, 300, 44), (4, 32, 40, 32),
+                                        (5, 32, 700, 24)])
 def test_stats_kernel_matches_walk(seed, B, L, A):
     """The stat-carrying detection kernel must report the exact
     (raw_score, matches, full_len) of the SeqAn-traceback path — same
