@@ -25,6 +25,18 @@ from .pipeline.phases import (add_full_barcode_adapter_sets,
 from .utils.text import TrimmerHelpFormatter
 from .version import __version__
 
+_TIMING = bool(os.environ.get('PORECHOP_TPU_TIMING'))
+
+
+def _mark(label, t0):
+    """PORECHOP_TPU_TIMING phase-wall line; returns a fresh t0."""
+    import time
+    if _TIMING:
+        print('[timing] phase %-10s %.3fs' % (label,
+                                              time.perf_counter() - t0),
+              file=sys.stderr, flush=True)
+    return time.perf_counter()
+
 
 def main(argv=None):
     args = get_arguments(argv)
@@ -66,6 +78,8 @@ def _run_pipeline(args):
     # merge globally (parallel/multihost.py).  Rank 0 re-emits the full
     # reference transcript: at -v 1 from global counters, at -v >= 2 with
     # the per-read dumps gathered from all ranks in read order.
+    import time
+    t0 = time.perf_counter()
     stats_merge = None
     mh_text = False
     if mh:
@@ -82,6 +96,7 @@ def _run_pipeline(args):
         n_total, n_check = len(reads), len(check_reads)
     phase_verbosity = 0 if mh_text else args.verbosity
 
+    t0 = _mark('load', t0)
     matching_sets = find_matching_adapter_sets(check_reads, phase_verbosity,
                                                args.end_size,
                                                args.scoring_scheme_vals,
@@ -91,6 +106,7 @@ def _run_pipeline(args):
                                                stats_merge=stats_merge)
     if mh_text:
         multihost.print_detection_block(n_check, args.print_dest)
+    t0 = _mark('detect', t0)
     matching_sets = fix_up_1d2_sets(matching_sets)
 
     if args.barcode_dir:
@@ -143,6 +159,7 @@ def _run_pipeline(args):
         else:
             display_read_end_trimming_summary(reads, args.verbosity,
                                               args.print_dest)
+        t0 = _mark('endtrim', t0)
         if not args.no_split:
             dumps3 = find_adapters_in_read_middles(
                 reads, matching_sets, phase_verbosity,
@@ -182,6 +199,7 @@ def _run_pipeline(args):
         print('No adapters found - output reads are unchanged from input reads\n',
               file=args.print_dest)
 
+    t0 = _mark('middle', t0)
     if mh:
         multihost.output_and_merge(reads, args, read_type, output_reads)
     else:
@@ -190,6 +208,7 @@ def _run_pipeline(args):
                      args.min_split_read_size, args.print_dest,
                      args.barcode_dir, args.input, args.untrimmed,
                      args.threads, args.discard_unassigned)
+    _mark('output', t0)
 
 
 def _run_streaming_pipeline(args, chunk_size, stream_mod):

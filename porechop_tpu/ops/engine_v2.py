@@ -89,14 +89,34 @@ def _cummax(f):
     return out[:, :L1]
 
 
+def _cummax_win(f, n_pass):
+    """Bounded-lookback running max along axis 1: log-shift passes give the
+    exact max over the trailing 2^n_pass columns — the same arithmetic the
+    Pallas kernels use for their gap-run-bounded H prefix (see the
+    _prefix_window note in kernel_pallas), so trace bits stay
+    byte-identical between the jnp and Pallas forwards."""
+    B, L1 = f.shape
+    jcol = jnp.arange(L1, dtype=jnp.int32)[None, :]
+    for k in range(n_pass):
+        sh = 1 << k
+        rolled = jnp.roll(f, sh, axis=1)
+        f = jnp.maximum(f, jnp.where(jcol < sh, NEG, rolled))
+    return f
+
+
 def _gather_one(arr, idx):
     return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
 
 
 def _forward_impl(reads, read_lens, adapters, adapter_lens,
-                  match, mismatch, gap_open, gap_ext):
+                  match, mismatch, gap_open, gap_ext, full_window=False):
     """Forward DP.  Returns (bits (A, B, L1) uint8, best_sc (B,),
-    cell_i (B,), cell_j (B,), vflag (B,), hflag (B,)) — all on device."""
+    cell_i (B,), cell_j (B,), vflag (B,), hflag (B,)) — all on device.
+
+    full_window=True disables the gap-run H-prefix bound (needed only when
+    byte-comparing bits against a full-window engine, e.g. the column-tiled
+    kernel whose cross-tile carry keeps the full prefix; walked results are
+    identical either way)."""
     B, L = reads.shape
     A = adapters.shape[1]
     L1 = L + 1
@@ -107,6 +127,11 @@ def _forward_impl(reads, read_lens, adapters, adapter_lens,
     adapter_lens = adapter_lens.astype(dtype)
     j_idx = jnp.arange(L1, dtype=dtype)[None, :]
     jcols = jnp.broadcast_to(j_idx, (B, L1))
+    from .kernel_pallas import _prefix_window
+    win_pass = max(1, (_prefix_window(match, gap_open, gap_ext, A, L1)
+                       - 1).bit_length())
+    if full_window:
+        win_pass = max(win_pass, (L1 - 1).bit_length())
 
     # Initial carries derive from read_lens (x*0 terms) so that under
     # shard_map they carry the same varying-axis type as the loop outputs
@@ -146,9 +171,17 @@ def _forward_impl(reads, read_lens, adapters, adapter_lens,
         pre = pre.at[:, 0].set(0)
 
         # H row via running max over opening points (valid for open < ext):
-        # H(j) = max_{k<j} pre(k) + open + (j-k-1)*ext.
+        # H(j) = max_{k<j} pre(k) + open + (j-k-1)*ext.  Lookback is
+        # bounded by the provable optimal-path gap-run cap (see
+        # kernel_pallas._prefix_window): runs past the window are strictly
+        # suboptimal, so no elected cell, tie-break, or consulted trace bit
+        # changes — and the Pallas kernels use the identical bound, keeping
+        # the two forwards byte-identical.
         f = pre + gap_open - (jcols + 1) * gap_ext
-        cum = _cummax(f)
+        if (1 << win_pass) >= L1:
+            cum = _cummax(f)
+        else:
+            cum = _cummax_win(f, win_pass)
         nh = jnp.concatenate(
             [jnp.full((B, 1), NEG, dtype),
              cum[:, :-1] + jcols[:, 1:] * gap_ext], axis=1)
@@ -213,7 +246,7 @@ def _forward_impl(reads, read_lens, adapters, adapter_lens,
     return bits, best_sc, cell_i, cell_j, vflag, hflag
 
 
-_forward = jax.jit(_forward_impl, static_argnums=(4, 5, 6, 7))
+_forward = jax.jit(_forward_impl, static_argnums=(4, 5, 6, 7, 8))
 
 
 def _traceback_impl(bits, cell_i, cell_j, vflag, hflag):

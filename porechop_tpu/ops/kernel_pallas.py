@@ -118,7 +118,7 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
                     m_ref, v_ref, h_ref,
                     tsc_ref, ti_ref, tvf_ref, thf_ref,
                     *, A, L1p, LANES, match, mismatch, gap_open, gap_ext,
-                    sdt, neg):
+                    sdt, neg, window):
     """Grid program (b, i): DP row i+1 for lane block b.
 
     reads_ref:    (LANES, L1p) sdt — read code at column j is read[j-1]
@@ -175,9 +175,15 @@ def _forward_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     pre = jnp.maximum(d, nv)
     pre = jnp.where(col0, 0, pre)
 
-    # H row: prefix max of f, then shift right one column.
+    # H row: prefix max of f, then shift right one column.  The prefix
+    # window is bounded by the provable optimal-path gap-run cap (see the
+    # transposed-kernel note before _prefix_window): runs longer than the
+    # window are strictly suboptimal, so truncated H values never sit on —
+    # or tie into — an elected path, and neither the elected cell nor any
+    # trace bit the walker consults can change.  14 -> 6 passes at the
+    # 10 kb middle shape with the default scheme.
     f = pre + gap_open - (jcol + 1) * gap_ext
-    n_pass = max(1, (L1p - 1).bit_length())
+    n_pass = max(1, (window - 1).bit_length())
 
     cum = f
     for k in range(n_pass):            # static shifts — keep Mosaic happy
@@ -283,7 +289,8 @@ def forward_pallas_impl(reads, read_lens, adapters, adapter_lens,
     kernel = functools.partial(
         _forward_kernel, A=A, L1p=L1p, LANES=LANES, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        sdt=sdt, neg=neg)
+        sdt=sdt, neg=neg,
+        window=_prefix_window(match, gap_open, gap_ext, A, L1p))
 
     out_shapes = (
         jax.ShapeDtypeStruct((A, B, L1p), jnp.uint8),     # bits
@@ -705,7 +712,7 @@ def _stats_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
                   m_ref, v_ref, h_ref, pm_ref, pv_ref, ph_ref,
                   tsc_ref, ti_ref, tpay_ref,
                   *, A, L1p, LANES, match, mismatch, gap_open, gap_ext,
-                  sdt, neg):
+                  sdt, neg, window):
     """Grid program (b, i): DP row i+1 for lane block b; same scores/scout
     as _forward_kernel, payload planes instead of trace bits."""
     i = pl.program_id(1)
@@ -766,7 +773,7 @@ def _stats_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     w = (row <= alen - 1).astype(jnp.int32)                # (LANES, 1)
     f = pre + gap_open - (jcol + 1) * gap_ext
     fp = ppre - w * jcol                                   # payload carry
-    n_pass = max(1, (L1p - 1).bit_length())
+    n_pass = max(1, (window - 1).bit_length())             # gap-run bound
     cum, cump = f, fp
     for k in range(n_pass):
         sh = 1 << k
@@ -869,7 +876,8 @@ def forward_stats_pallas_impl(reads, read_lens, adapters, adapter_lens,
     kernel = functools.partial(
         _stats_kernel, A=A, L1p=L1p, LANES=LANES, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        sdt=sdt, neg=neg)
+        sdt=sdt, neg=neg,
+        window=_prefix_window(match, gap_open, gap_ext, A, L1p))
 
     out_shapes = tuple(jax.ShapeDtypeStruct((B, 1), jnp.int32)
                        for _ in range(4))      # best, cell_i, cell_j, pay

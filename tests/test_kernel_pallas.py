@@ -108,6 +108,69 @@ def test_stats_kernel_matches_walk(seed, B, L, A):
         assert got == want, (k, int(rl[k]), int(al[k]), got, want)
 
 
+def test_gap_run_window_bound_adversarial():
+    """The bounded H-prefix window (kernel_pallas._prefix_window) must not
+    change any result even on inputs ENGINEERED to contain long optimal
+    gap runs: reads built as adapter-prefix + g junk bases + adapter-suffix
+    force the best path to carry an H-run of ~g columns.  Sweeps g through
+    and past the bound and checks the full 8-field result of the windowed
+    engines (jnp forward + walk, lane-major stats kernel, transposed stats
+    kernel) against the full-window executable spec."""
+    from porechop_tpu.ops import spec
+
+    scheme = (3, -6, -5, -2)
+    A = 24
+    # window = 1 + (3*23+5)//2 + 2 = 40 for this scheme/A.
+    gaps = [1, 5, 16, 30, 38, 40, 42, 64, 120]
+    rng = np.random.default_rng(99)
+    lanes = []
+    for g in gaps:
+        adapter = rng.integers(0, 4, A).astype(np.int8)
+        cut = A // 2
+        junk = rng.integers(0, 4, g).astype(np.int8)
+        read = np.concatenate([adapter[:cut], junk, adapter[cut:]])
+        lanes.append((read, adapter))
+        # Tie-stress variant: low-entropy read around the same structure.
+        read2 = np.concatenate([adapter[:cut], (junk % 2), adapter[cut:]])
+        lanes.append((read2, adapter))
+    B = 128                 # transposed kernel requires a 128-lane block
+    L = max(len(r) for r, _ in lanes)
+    reads = np.full((B, L), 4, np.int8)
+    rl = np.ones(B, np.int32)
+    adps = np.full((B, A), 4, np.int8)
+    al = np.full(B, A, np.int32)
+    for k, (r, a) in enumerate(lanes):
+        reads[k, :len(r)] = r
+        rl[k] = len(r)
+        adps[k] = a
+
+    codes = 'ACGTN'
+    want = [spec.align_stats(''.join(codes[c] for c in reads[k, :rl[k]]),
+                             ''.join(codes[c] for c in adps[k]), scheme)
+            for k in range(len(lanes))]
+
+    # jnp forward (windowed cummax) through walk + finish.
+    full = engine_v2.align_batch(reads, rl, adps, al, scheme)
+    for k, w in enumerate(want):
+        got = {f: int(full[f][k]) for f in
+               ('read_start', 'read_end', 'matches', 'full_len',
+                'raw_score')}
+        exp = {f: getattr(w, f) for f in got}
+        assert got == exp, ('jnp+walk', k, gaps[k // 2], got, exp)
+
+    # Stat-carrying kernels, lane-major and transposed.
+    with pltpu.force_tpu_interpret_mode():
+        st = kernel_pallas.forward_stats_pallas(reads, rl, adps, al, *scheme)
+        st_t = kernel_pallas.forward_stats_pallas_t(reads, rl, adps, al,
+                                                    *scheme)
+    for name, (best, ci, cj, mat, fl) in (('stats', st), ('stats_t', st_t)):
+        for k, w in enumerate(want):
+            got = (int(np.asarray(best)[k]), int(np.asarray(mat)[k]),
+                   int(np.asarray(fl)[k]))
+            exp = (w.raw_score, w.matches, w.full_len)
+            assert got == exp, (name, k, gaps[k // 2], got, exp)
+
+
 def test_fused_groupmax_stats_path_matches_walk_path():
     """The fused gather+group-max launch with the stats kernel (mode 1)
     must return the same per-group (matches, full_len) as the bitmap+walk

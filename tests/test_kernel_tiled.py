@@ -38,9 +38,12 @@ def test_tiled_forward_matches_jnp_across_boundary():
         bt, best_t, ci_t, cj_t, vf_t, hf_t = kernel_pallas.forward_pallas_tiled(
             jnp.asarray(reads), jnp.asarray(rl), jnp.asarray(adps),
             jnp.asarray(al), 3, -6, -5, -2)
+    # full_window: the tiled kernel's cross-tile carry keeps the full H
+    # prefix, so bit-level comparison needs the unwindowed jnp forward
+    # (walked results are identical either way).
     bj, best_j, ci_j, cj_j, vf_j, hf_j = engine_v2._forward(
         jnp.asarray(reads), jnp.asarray(rl), jnp.asarray(adps),
-        jnp.asarray(al), 3, -6, -5, -2)
+        jnp.asarray(al), 3, -6, -5, -2, True)
     bt = np.asarray(bt)[:, :, :L + 1]
     bj = np.asarray(bj)
     for b in range(B):
