@@ -306,6 +306,10 @@ class AlignJobs:
                 else:
                     device_work.append((lb, amax, chunk))
 
+        if route_small and device_work:
+            device_work = self._share_with_native(small, small_meta,
+                                                  device_work)
+
         # Per-rung job index lists for the device queue, so uploads dedup
         # across buckets sharing a rung (a window rung's table is shared by
         # every adapter rung and vice versa).
@@ -415,6 +419,75 @@ class AlignJobs:
         for lo in range(0, len(idxs), per_launch):
             chunk = idxs[lo:lo + per_launch]
             yield chunk, _bucket_lanes(len(chunk)) * (lb + 1) * amax
+
+    # Engine work-sharing rate model (cells/s): the native host engine runs
+    # CONCURRENTLY with in-flight device launches (run() enqueues every
+    # launch, then chews the native queue, then harvests), so leaving it
+    # idle during a big phase wastes a real compute resource.  Measured on
+    # the build host: 2-vCPU AVX-512 native ~1.4-2.3e9; device effective
+    # (kernel + gather/unpack + harvest) ~6e9-1.1e10.  Conservative
+    # defaults; override per deployment.
+    _HOST_CELLS_S = float(os.environ.get('PORECHOP_TPU_HOST_CELLS_S',
+                                         '1.6e9'))
+    _DEV_CELLS_S = float(os.environ.get('PORECHOP_TPU_DEV_CELLS_S', '6e9'))
+
+    def _share_with_native(self, small, small_meta, device_work):
+        """Balances one phase's work across BOTH engines: diverts job
+        slices from device-bound chunks to the native queue so the two
+        finish together under the rate model (minimize
+        max(device_cells/r_dev, native_cells/r_host)).  Greedy over
+        quantized moves: a device chunk can only shrink to a power-of-two
+        lane count (anything else pads straight back up in _bucket_lanes,
+        making the diversion pure loss) or leave entirely.  Returns the
+        trimmed device_work; diverted jobs are appended to
+        small/small_meta in place."""
+        def pad_cells(lb, amax, n):
+            return _bucket_lanes(n) * (lb + 1) * amax if n else 0
+
+        rh, rd = self._HOST_CELLS_S, self._DEV_CELLS_S
+        kept = list(device_work)
+        c_dev = float(sum(pad_cells(lb, amax, len(c))
+                          for lb, amax, c in kept))
+        # Native side pays real (unpadded) cells; rung sizes upper-bound
+        # the per-job cost consistently on both sides of the comparison.
+        c_host = float(sum(len(c) * (lb + 1) * amax
+                           for lb, amax, c in small_meta))
+        while True:
+            wall = max(c_dev / rd, c_host / rh)
+            best = None
+            for n, (lb, amax, chunk) in enumerate(kept):
+                jc = (lb + 1) * amax
+                L = len(chunk)
+                keeps = {0}
+                p = _bucket_lanes(L) // 2
+                while p >= _MIN_LANES:
+                    if p < L:
+                        keeps.add(p)
+                    p //= 2
+                for keep in keeps:
+                    nd = c_dev - pad_cells(lb, amax, L) \
+                        + pad_cells(lb, amax, keep)
+                    nh = c_host + (L - keep) * jc
+                    w = max(nd / rd, nh / rh)
+                    if w < wall - 1e-9 and (best is None or w < best[0]):
+                        best = (w, n, keep)
+            if best is None:
+                break
+            _, n, keep = best
+            lb, amax, chunk = kept[n]
+            c_dev += pad_cells(lb, amax, keep) \
+                - pad_cells(lb, amax, len(chunk))
+            c_host += (len(chunk) - keep) * (lb + 1) * amax
+            small.append(chunk[keep:])
+            small_meta.append((lb, amax, chunk[keep:]))
+            if keep:
+                kept[n] = (lb, amax, chunk[:keep])
+            else:
+                kept.pop(n)
+        if _TIMING and c_host:
+            print('[timing] work-share: %.2e cells device, %.2e native'
+                  % (c_dev, c_host), file=sys.stderr, flush=True)
+        return kept
 
     def _merge_adapter_rungs(self, buckets, route_small) -> None:
         """Merges same-window-rung, device-bound work whose adapter rungs

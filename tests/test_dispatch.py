@@ -148,6 +148,30 @@ def test_run_group_max_matches_spec(monkeypatch, device_path):
         res['full_pct'], want_pct)
 
 
+def test_work_sharing_matches_spec(monkeypatch):
+    """Engine work-sharing (device-bound slices diverted to the native
+    queue to balance the two engines' finish times) must be result-
+    invisible, and must actually divert under equal rates."""
+    monkeypatch.delenv('PORECHOP_TPU_FORCE_HOST', raising=False)
+    monkeypatch.setattr(dispatch, '_HYBRID_CELLS', 0)
+    monkeypatch.setattr(dispatch.AlignJobs, '_HOST_CELLS_S', 1e9)
+    monkeypatch.setattr(dispatch.AlignJobs, '_DEV_CELLS_S', 1e9)
+    counted = {'n': 0}
+    orig = dispatch.AlignJobs._run_native
+
+    def spy(self, todo, out):
+        counted['n'] += len(todo)
+        return orig(self, todo, out)
+
+    monkeypatch.setattr(dispatch.AlignJobs, '_run_native', spy)
+    rng = np.random.default_rng(31)
+    windows, adapters, pairs = _random_jobs(rng, n_pairs=400)
+    want = _spec_expected(windows, adapters, pairs)
+    res = dispatch.AlignJobs(windows, adapters, pairs).run()
+    _check(res, want)
+    assert counted['n'] > 0, 'equal rates must divert work to native'
+
+
 @pytest.mark.parametrize('device_path', [True, False])
 def test_run_stats_matches_run(monkeypatch, device_path):
     """run_stats (per-lane stat-carrying launches, no coordinate recovery)
