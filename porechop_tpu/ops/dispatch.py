@@ -285,13 +285,29 @@ class AlignJobs:
         ai = np.searchsorted(alad, pa[todo], side='left')
         amv = np.where(ai < len(alad), alad[np.minimum(ai, len(alad) - 1)],
                        ((pa[todo] + 127) // 128) * 128)
-        # Scalar-key unique: np.unique(axis=0) argsorts a structured view
-        # (measured 1.7 s at 1M detection pairs); a packed int64 key sorts
-        # 20x faster.  amv < 2^20 always (adapters are <= ~300 bp).
-        key1 = lbv * (1 << 20) + amv
-        uniq, inv = np.unique(key1, return_inverse=True)
-        buckets = {(int(k >> 20), int(k & ((1 << 20) - 1))): todo[inv == g]
-                   for g, k in enumerate(uniq)}
+        # Rung-index bucketing via radix sort: the (window rung, adapter
+        # rung) pair is a point on a tiny ladder grid, so the group key fits
+        # uint16 and argsort(kind='stable') radix-sorts it in O(P) — an
+        # int64 comparison unique costs ~0.55 s at 2.6M detection pairs.
+        # Oversize (past-the-ladder) rungs get ids after the grid; their
+        # distinct values are found by np.unique on just those rows.
+        Ga = len(alad) + 1
+        comb = wi * Ga + ai
+        over = (wi >= len(lad)) | (ai >= len(alad))
+        if over.any():
+            okey = lbv[over] * (1 << 20) + amv[over]
+            _, oinv = np.unique(okey, return_inverse=True)
+            comb[over] = (len(lad) + 1) * Ga + oinv
+        order = np.argsort(comb.astype(np.uint16), kind='stable')
+        sc = comb[order]
+        cut = np.nonzero(np.diff(sc))[0] + 1
+        starts = np.concatenate((np.zeros(1, np.int64), cut))
+        ends = np.concatenate((cut, np.asarray([len(sc)], np.int64)))
+        todo_ord = todo[order]
+        lbv_ord = lbv[order]
+        amv_ord = amv[order]
+        buckets = {(int(lbv_ord[s]), int(amv_ord[s])): todo_ord[s:e]
+                   for s, e in zip(starts, ends)}
         route_small = use_jax and self._native_available()
         self._merge_adapter_rungs(buckets, route_small)
 
@@ -359,6 +375,19 @@ class AlignJobs:
                         progress(chunk)
 
         t0 = time.perf_counter() if _TIMING else 0.0
+        # Start every pending launch's d2h copies before blocking on any of
+        # them: np.asarray on a tunneled device array pays a full round trip
+        # per array, and a phase can harvest a dozen small arrays (12 x
+        # ~37 ms measured serial = 0.44 s; async-prefetched they overlap
+        # into ~one round trip).
+        for _chunk, (_kind, h) in pending:
+            for arr in (h if isinstance(h, (tuple, list)) else (h,)):
+                fn = getattr(arr, 'copy_to_host_async', None)
+                if fn is not None:
+                    try:
+                        fn()
+                    except Exception:
+                        pass
         for chunk, h in pending:
             self._harvest(chunk, h, out)
             progress(chunk)
