@@ -619,8 +619,12 @@ class AlignJobs:
                 wlen[r] = len(w)
             wmap = np.full(len(self.windows), len(uw), dtype=np.int32)
             wmap[uw] = np.arange(len(uw), dtype=np.int32)
+            # The dummy pad row's single live cell is 'A', not 'N', so an
+            # N-free window table stays eligible for 2-bit packing (dummy
+            # lane results are never consumed).
+            wmat[len(uw), 0] = 0
             tables['w'][lb] = (
-                engine_v2.put_replicated(engine_v2.pack_nibbles(wmat)),
+                engine_v2.put_replicated(engine_v2.pack_codes(wmat, wlen)),
                 engine_v2.put_replicated(jnp.asarray(wlen)),
                 wmap, wmat.shape[1])
         if amax not in tables['a']:

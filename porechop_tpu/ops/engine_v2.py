@@ -410,12 +410,58 @@ def pack_nibbles(mat: np.ndarray):
     return jnp.asarray(packed)
 
 
+def pack_codes(mat: np.ndarray, lens=None):
+    """Densest safe packing of a (W, L) Dna5 code matrix for upload.
+
+    When every LIVE cell (column < its row's length) is an ACGT code the
+    matrix packs four-codes-per-byte (2 bits each) — half the bytes of the
+    nibble format on a ~33 MB/s tunneled link, where the read-table upload
+    is the middle phase's dominant fixed cost.  Any N (code 4, also the
+    reference's '-' mask char) falls back to nibble packing, which is
+    lossless for all five codes.  Pad cells (beyond a row's length) never
+    influence results: every engine masks its best-cell election with the
+    read length and DP dependencies only flow from lower columns, so their
+    codes may decode arbitrarily.
+
+    The two formats are told apart downstream by width alone
+    (ceil(L/4) != ceil(L/2) for L > 2), so L <= 2 always packs nibbles.
+    Returns a (W, ceil(L/4)) or (W, ceil(L/2)) uint8 device array."""
+    mat = np.asarray(mat, np.uint8)
+    W, L = mat.shape
+    if L <= 2 or (L + 3) // 4 == (L + 1) // 2:
+        return pack_nibbles(mat)
+    if lens is None:
+        pure = bool((mat < 4).all())
+    else:
+        lens = np.asarray(lens, np.int64)
+        # Codes < 4 only occur in live cells (pads are 4), so ACGT-only
+        # live regions <=> per-row count of sub-N codes equals the length.
+        pure = bool((np.count_nonzero(mat < 4, axis=1) == lens).all())
+    if not pure:
+        return pack_nibbles(mat)
+    if L % 4:
+        mat = np.pad(mat, ((0, 0), (0, 4 - L % 4)))
+    packed = (mat[:, 0::4] | (mat[:, 1::4] << 2)
+              | (mat[:, 2::4] << 4) | (mat[:, 3::4] << 6))
+    return jnp.asarray(packed)
+
+
 def _unpack_nibbles(rows, wcols):
     """(B, L/2) uint8 -> (B, wcols) int8 codes (inverse of pack_nibbles)."""
     lo = (rows & 0xF).astype(jnp.int8)
     hi = (rows >> 4).astype(jnp.int8)
     B = rows.shape[0]
     return jnp.stack([lo, hi], axis=2).reshape(B, -1)[:, :wcols]
+
+
+def _unpack_codes(rows, wcols):
+    """Inverse of pack_codes: format inferred from the packed width (static
+    under jit, so this is a trace-time branch, not device control flow)."""
+    if rows.shape[1] == (wcols + 3) // 4 != (wcols + 1) // 2:
+        parts = [((rows >> (2 * k)) & 3).astype(jnp.int8) for k in range(4)]
+        B = rows.shape[0]
+        return jnp.stack(parts, axis=2).reshape(B, -1)[:, :wcols]
+    return _unpack_nibbles(rows, wcols)
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
@@ -430,7 +476,7 @@ def _fused_gather(wpk, wlens, amat, alens, w_idx, a_idx, wcols,
     so shipping one lane per (window, adapter) pair re-transfers each window
     ~100x.  Gathering on device ships each window once (and packed); only
     (B, 12) ints come back."""
-    reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+    reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
     rl = jnp.take(wlens, w_idx)
     adps = jnp.take(amat, a_idx, axis=0)
     al = jnp.take(alens, a_idx)
@@ -583,7 +629,7 @@ def _fused_gather_groupmax(wpk, wlens, amat, alens, w_idx, a_idx, g_idx,
     (distinct fractions with denominators <= 2048 differ by >= 2^-22 while
     float32 rounding error is <= 2^-24 per value) — the dispatcher guards
     the window rung accordingly.  Pad lanes carry g_idx == n_groups."""
-    reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+    reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
     rl = jnp.take(wlens, w_idx)
     adps = jnp.take(amat, a_idx, axis=0)
     al = jnp.take(alens, a_idx)
@@ -602,7 +648,7 @@ def _fused_gather_stats(wpk, wlens, amat, alens, w_idx, a_idx, wcols,
     passing pairs: the middle-adapter scan tests full_score >= threshold
     for every (read, adapter) pair but consumes (read_start, read_end)
     only on hits (reference nanopore_read.py:216-243)."""
-    reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+    reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
     rl = jnp.take(wlens, w_idx)
     adps = jnp.take(amat, a_idx, axis=0)
     al = jnp.take(alens, a_idx)
@@ -631,7 +677,7 @@ def _sharded_gather_fn(mesh, wcols, match, mismatch, gap_open, gap_ext,
     from jax.sharding import PartitionSpec as P
 
     def impl(wpk, wlens, amat, alens, w_idx, a_idx):
-        reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+        reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
         rl = jnp.take(wlens, w_idx)
         adps = jnp.take(amat, a_idx, axis=0)
         al = jnp.take(alens, a_idx)
@@ -656,7 +702,7 @@ def _sharded_stats_fn(mesh, wcols, match, mismatch, gap_open, gap_ext,
     from jax.sharding import PartitionSpec as P
 
     def impl(wpk, wlens, amat, alens, w_idx, a_idx):
-        reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+        reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
         rl = jnp.take(wlens, w_idx)
         adps = jnp.take(amat, a_idx, axis=0)
         al = jnp.take(alens, a_idx)
@@ -676,7 +722,7 @@ def _sharded_groupmax_fn(mesh, wcols, n_groups, match, mismatch, gap_open,
     from jax.sharding import PartitionSpec as P
 
     def impl(wpk, wlens, amat, alens, w_idx, a_idx, g_idx):
-        reads = _unpack_nibbles(jnp.take(wpk, w_idx, axis=0), wcols)
+        reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
         rl = jnp.take(wlens, w_idx)
         adps = jnp.take(amat, a_idx, axis=0)
         al = jnp.take(alens, a_idx)
@@ -704,7 +750,7 @@ def _sharded_dense_groupmax_fn(mesh, wcols, n_groups, match, mismatch,
     from jax.sharding import PartitionSpec as P
 
     def impl(wpk, wlens, amat, alens, g_idx):
-        reads = _unpack_nibbles(wpk, wcols)
+        reads = _unpack_codes(wpk, wcols)
         matches, full_len, ok = _groupmax_stats_fwd(
             reads, wlens, amat, alens, match, mismatch, gap_open, gap_ext,
             mode)

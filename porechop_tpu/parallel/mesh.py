@@ -98,7 +98,10 @@ def _pad_lanes(n_pad, reads, read_lens, adapters, adapter_lens):
         out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
         out[:len(a)] = a
         return out
-    return (pad(np.asarray(reads), 4), pad(np.asarray(read_lens), 1),
+    # Pad-lane read codes are 'A' (0), not 'N': their results are sliced
+    # off (or mapped to the dummy set) either way, and an N-free batch then
+    # stays eligible for pack_codes' 2-bit upload format.
+    return (pad(np.asarray(reads), 0), pad(np.asarray(read_lens), 1),
             pad(np.asarray(adapters), 4), pad(np.asarray(adapter_lens), 1))
 
 
@@ -159,7 +162,7 @@ def detection_step(mesh, reads, read_lens, adapters, adapter_lens,
     # per-lane array shards over the mesh — per-device memory is B/D lanes
     # and only the (n_sets,) reduction replicates (the gather-table variant
     # would replicate every read window to every device).
-    wpk = engine_v2.pack_nibbles(reads)
+    wpk = engine_v2.pack_codes(reads, read_lens)
     mode = engine_v2._pallas_mode(B // n_dev, L, A)
     fn = engine_v2._sharded_dense_groupmax_fn(mesh, L, int(n_sets), match,
                                               mismatch, gap_open, gap_ext,
