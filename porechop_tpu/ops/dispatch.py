@@ -298,7 +298,14 @@ class AlignJobs:
             okey = lbv[over] * (1 << 20) + amv[over]
             _, oinv = np.unique(okey, return_inverse=True)
             comb[over] = (len(lad) + 1) * Ga + oinv
-        order = np.argsort(comb.astype(np.uint16), kind='stable')
+        # uint16 keeps argsort in radix territory; anything larger would
+        # silently wrap and merge buckets under a wrong (lb, amax) key.
+        # ~65.2k distinct oversize rung pairs is unreachable with real read
+        # lengths, but guard it: fall back to the int64 sort if it ever is.
+        if comb.max(initial=0) < 65536:
+            order = np.argsort(comb.astype(np.uint16), kind='stable')
+        else:
+            order = np.argsort(comb, kind='stable')
         sc = comb[order]
         cut = np.nonzero(np.diff(sc))[0] + 1
         starts = np.concatenate((np.zeros(1, np.int64), cut))
@@ -386,8 +393,15 @@ class AlignJobs:
                 if fn is not None:
                     try:
                         fn()
-                    except Exception:
-                        pass
+                    except (NotImplementedError, AttributeError):
+                        pass    # backend lacks async d2h; harvest pays RTT
+                    except Exception as e:
+                        # Real device errors (OOM, transfer failure) will
+                        # re-raise with full context at harvest below; note
+                        # them here only under the debug flag.
+                        if _TIMING:
+                            print('[timing] copy_to_host_async: %r' % (e,),
+                                  file=sys.stderr, flush=True)
         for chunk, h in pending:
             self._harvest(chunk, h, out)
             progress(chunk)

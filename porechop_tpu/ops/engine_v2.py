@@ -441,6 +441,11 @@ def pack_codes(mat: np.ndarray, lens=None):
         return pack_nibbles(mat)
     if L % 4:
         mat = np.pad(mat, ((0, 0), (0, 4 - L % 4)))
+    # Mask to 2 bits: pad cells are code 4 (0b100) and would otherwise set
+    # bit 2k+2 — corrupting the NEXT slot's low bit, not just their own
+    # cell.  Live cells are < 4 by the purity check above, so masking only
+    # changes pads (whose decoded values are don't-cares, see docstring).
+    mat = mat & 3
     packed = (mat[:, 0::4] | (mat[:, 1::4] << 2)
               | (mat[:, 2::4] << 4) | (mat[:, 3::4] << 6))
     return jnp.asarray(packed)

@@ -98,10 +98,15 @@ def _pad_lanes(n_pad, reads, read_lens, adapters, adapter_lens):
         out = np.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)
         out[:len(a)] = a
         return out
-    # Pad-lane read codes are 'A' (0), not 'N': their results are sliced
-    # off (or mapped to the dummy set) either way, and an N-free batch then
-    # stays eligible for pack_codes' 2-bit upload format.
-    return (pad(np.asarray(reads), 0), pad(np.asarray(read_lens), 1),
+    # Pad-lane read rows follow the live-row convention pack_codes checks
+    # (codes < 4 exactly in the first `len` columns): fill with 4 ('N'/pad)
+    # and make column 0 a single live 'A' to match the padded length of 1.
+    # Their results are sliced off (or mapped to the dummy set) either way,
+    # and an otherwise N-free batch stays eligible for the 2-bit format
+    # (same trick as the dispatcher's dummy rows, dispatch.py).
+    reads_p = pad(np.asarray(reads), 4)
+    reads_p[len(reads):, 0] = 0
+    return (reads_p, pad(np.asarray(read_lens), 1),
             pad(np.asarray(adapters), 4), pad(np.asarray(adapter_lens), 1))
 
 
