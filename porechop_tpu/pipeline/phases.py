@@ -134,27 +134,34 @@ def find_matching_adapter_sets(check_reads, verbosity, end_size,
                 adapter_seqs.append(spec.encode(seq))
             entries.append((si, side, adapter_idx[seq]))
 
-    # Progress ticks as chunks harvest (pairs are entry-major: job k
-    # belongs to check read k % read_count).
+    # Progress ticks as chunks harvest.  Pairs are READ-major (job k
+    # belongs to check read k // n_entries): every window is the same rung,
+    # so the dispatcher's stable bucketing keeps chunks as contiguous job
+    # ranges and each harvested chunk completes a prefix of reads — the
+    # frontier advances DURING the phase instead of only at its end
+    # (VERDICT r4 task 5; the group-max reduction is order-agnostic, so
+    # only the progress mapping cares about pair order).
     prog = HarvestProgress(read_count, len(entries),
-                           lambda k: k % max(read_count, 1), print_dest,
+                           lambda k: k // max(len(entries), 1), print_dest,
                            enabled=verbosity > 0)
     if entries:
         gm = np.zeros(len(entries), dtype=np.int64)
         gl = np.ones(len(entries), dtype=np.int64)
         if read_count:
             R = read_count
-            base = 2 * np.arange(R, dtype=np.int64)
-            pairs = np.empty((len(entries) * R, 2), dtype=np.int64)
-            for e, (si, side, ai) in enumerate(entries):
-                pairs[e * R:(e + 1) * R, 0] = (base
-                                               + (0 if side == 'start' else 1))
-                pairs[e * R:(e + 1) * R, 1] = ai
+            E = len(entries)
+            win_off = np.array([0 if side == 'start' else 1
+                                for _, side, _ in entries], np.int64)
+            ai_arr = np.array([ai for _, _, ai in entries], np.int64)
+            pairs = np.empty((R * E, 2), dtype=np.int64)
+            pairs[:, 0] = (2 * np.repeat(np.arange(R, dtype=np.int64), E)
+                           + np.tile(win_off, R))
+            pairs[:, 1] = np.tile(ai_arr, R)
             # Group-reduced execution: per (set, side) only the best identity
             # leaves the device — the per-pair results are never materialized
             # host-side (reference semantics: max over check reads of the
             # full adapter %id, nanopore_read.py:155-164).
-            gids = np.repeat(np.arange(len(entries), dtype=np.int64), R)
+            gids = np.tile(np.arange(E, dtype=np.int64), R)
             res = AlignJobs(windows, adapter_seqs, pairs,
                             scoring_scheme_vals).run_group_max(
                                 gids, len(entries), progress=prog)
@@ -459,21 +466,25 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
     # reads (the overwhelming majority) are finished after this launch.
     n_ad = len(adapters)
     round0 = None
-    # Progress ticks as round-0 chunks harvest (pairs are adapter-major:
-    # job k belongs to read k % read_count); reads still replaying when
-    # round 0 ends get their lines from prog.finish().  The reference's
-    # threaded loop prints finished_count + 1 (porechop.py:589, an
-    # off-by-one its single-thread path lacks); reproduce whichever
-    # pattern the requested thread count selects.
+    # Progress ticks as round-0 chunks harvest.  Pairs are READ-major (job
+    # k belongs to read k // n_ad): one read's jobs share a window rung, so
+    # the dispatcher's stable bucketing keeps same-length-bucket chunks as
+    # contiguous read runs and harvested chunks complete read prefixes —
+    # the frontier can advance during the phase (VERDICT r4 task 5).
+    # Reads still replaying when round 0 ends get their lines from
+    # prog.finish().  The reference's threaded loop prints
+    # finished_count + 1 (porechop.py:589, an off-by-one its single-thread
+    # path lacks); reproduce whichever pattern the requested thread count
+    # selects.
     prog = HarvestProgress(
-        read_count, n_ad, lambda k: k % max(read_count, 1), print_dest,
+        read_count, n_ad, lambda k: k // max(n_ad, 1), print_dest,
         enabled=verbosity == 1,
         line_of=(lambda r: r) if threads == 1 else (lambda r: r + 1))
     stats_only = stats_path_active(scoring_scheme_vals)
     if n_ad and read_count:
         pairs0 = np.column_stack([
-            np.tile(np.arange(read_count, dtype=np.int64), n_ad),
-            np.repeat(np.arange(n_ad, dtype=np.int64), read_count)])
+            np.repeat(np.arange(read_count, dtype=np.int64), n_ad),
+            np.tile(np.arange(n_ad, dtype=np.int64), read_count)])
         jobs0 = AlignJobs(masked, a_code_list, pairs0, scoring_scheme_vals)
         if stats_only:
             # Winner-only coordinate recovery (VERDICT r3 task 2's idea
@@ -488,11 +499,8 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
             round0 = jobs0.run_stats(progress=prog)
         else:
             round0 = jobs0.run(progress=prog)
-        full_pct0 = round0['full_pct']
-        hit_any = np.zeros(read_count, dtype=bool)
-        for ai in range(n_ad):
-            sl = slice(ai * read_count, (ai + 1) * read_count)
-            hit_any |= full_pct0[sl] >= middle_threshold
+        fp0 = round0['full_pct'].reshape(read_count, n_ad)
+        hit_any = (fp0 >= middle_threshold).any(axis=1)
         fallback = [ri for ri in range(read_count) if hit_any[ri]]
     else:
         fallback = []
@@ -523,7 +531,7 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
     first_ai = {}
     for ri in fallback:
         for ai in range(n_ad):
-            if full_pct0[ai * read_count + ri] >= middle_threshold:
+            if fp0[ri, ai] >= middle_threshold:
                 first_ai[ri] = ai
                 break
     if stats_only and first_ai:
@@ -539,15 +547,15 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
                        int(cres['read_end_excl'][n]))
                   for n, (ri, _) in enumerate(items)}
     else:
-        coords = {ri: (int(round0['read_start'][ai * read_count + ri]),
-                       int(round0['read_end_excl'][ai * read_count + ri]))
+        coords = {ri: (int(round0['read_start'][ri * n_ad + ai]),
+                       int(round0['read_end_excl'][ri * n_ad + ai]))
                   for ri, ai in first_ai.items()}
 
     pend = []   # (ri, ai): the next alignment each in-flight read needs
     for ri in fallback:
         ai = first_ai[ri]
         rs, re = coords[ri]
-        apply_hit(ri, ai, rs, re, full_pct0[ai * read_count + ri])
+        apply_hit(ri, ai, rs, re, fp0[ri, ai])
         pend.append((ri, ai))           # re-align same adapter, now masked
 
     use_device_replay = False
