@@ -148,6 +148,8 @@ class AlignJobs:
         self._dev_grouped = None    # lanes already folded on device
         self._stats_only = False    # run_stats mode: no coordinate recovery
         self._stats_failed = None   # (P,) bool: device-stats lanes with ok=0
+        self._score_only = False    # score-prefilter mode: raw score only
+        self._score_lanes = None    # (P,) bool: lanes with score-only results
 
     # Window rungs above this bypass the device group-max (its float32
     # fraction key is exact only while full_len <= 2048).
@@ -201,7 +203,7 @@ class AlignJobs:
         return {'matches': gacc[:, 0], 'full_len': gacc[:, 1],
                 'full_pct': seqan_pct_vec(gacc[:, 0], gacc[:, 1])}
 
-    def run_stats(self, progress=None) -> dict:
+    def run_stats(self, progress=None, prefilter=None) -> dict:
         """Percent-identity-only execution: returns {'matches', 'full_len',
         'full_pct'} of shape (P,) and skips coordinate recovery entirely.
         Device chunks run the stat-carrying forward (no trace bitmap, no
@@ -210,7 +212,24 @@ class AlignJobs:
         For consumers that branch on full_pct and recompute coordinates for
         the rare passing pairs — the middle-adapter scan tests every
         (read, adapter) pair but consumes coordinates only on hits
-        (reference nanopore_read.py:216-243)."""
+        (reference nanopore_read.py:216-243).
+
+        prefilter: optional identity threshold (percent).  When the caller
+        only consumes `full_pct >= prefilter` (and the values of passing
+        lanes), device chunks first run a score-only kernel at ~half the
+        stat-carrying kernel's VPU ops; lanes whose best score is provably
+        too low for the threshold (kernel_pallas.score_prefilter_coef) are
+        rejected with full_pct = 0.0 and only the survivors re-run through
+        the exact stats path.  Sub-threshold lanes' matches/full_len are
+        NOT meaningful in this mode.  Falls back to the plain stats flow
+        whenever the bound is vacuous for the scheme/threshold."""
+        if prefilter is not None:
+            from . import kernel_pallas
+            match, mismatch, gap_open, gap_ext = self.scoring
+            coef = kernel_pallas.score_prefilter_coef(
+                prefilter, match, mismatch, gap_open, gap_ext)
+            if coef > 0 and _use_jax() and self._jax_supports():
+                return self._run_stats_prefiltered(coef, progress)
         self._stats_only = True
         self._stats_failed = np.zeros(len(self.pairs), dtype=bool)
         try:
@@ -225,6 +244,53 @@ class AlignJobs:
         full_pct = seqan_pct_vec(res['matches'], res['full_len'])
         full_pct = np.where(failed | (res['full_len'] <= 0), 0.0, full_pct)
         return {'matches': res['matches'], 'full_len': res['full_len'],
+                'full_pct': full_pct}
+
+    def _run_stats_prefiltered(self, coef, progress) -> dict:
+        """Score-prefiltered stats: one dense score-only pass over all
+        pairs, then an exact stats pass over the (typically chimera-rate)
+        survivors.  Soundness: a lane's best score below coef * adapter_len
+        proves its full-span identity is below the threshold
+        (kernel_pallas._score_kernel's bound note), so rejected lanes'
+        full_pct = 0.0 compares identically against the threshold."""
+        P = len(self.pairs)
+        self._score_only = True
+        self._score_lanes = np.zeros(P, dtype=bool)
+        self._stats_failed = np.zeros(P, dtype=bool)
+        try:
+            res = self.run(progress=progress)
+        finally:
+            self._score_only = False
+            score_lanes, self._score_lanes = self._score_lanes, None
+            failed, self._stats_failed = self._stats_failed, None
+        failed |= res['read_start'] == -1
+
+        # Lanes routed native / jnp-fallback carry FULL results already —
+        # use them directly (no re-run).
+        host_pct = seqan_pct_vec(res['matches'], res['full_len'])
+        host_ok = ~failed & (res['full_len'] > 0) & ~score_lanes
+        full_pct = np.where(host_ok, host_pct, 0.0)
+        matches = np.where(~score_lanes, res['matches'], 0)
+        full_len = np.where(~score_lanes, np.maximum(res['full_len'], 1), 1)
+
+        pa = np.array([len(self.adapters[k]) for k in range(len(self.adapters))],
+                      dtype=np.int64)[self.pairs[:, 1]]
+        cand = (score_lanes & ~failed
+                & (res['raw_score'].astype(np.float64) >= coef * pa))
+        if cand.any():
+            idx = np.nonzero(cand)[0]
+            sub = AlignJobs(self.windows, self.adapters, self.pairs[idx],
+                            self.scoring)
+            sres = sub.run_stats()          # exact, no prefilter
+            matches[idx] = sres['matches']
+            full_len[idx] = sres['full_len']
+            full_pct[idx] = sres['full_pct']
+        if _TIMING:
+            print('[timing] score prefilter: %d/%d lanes survived '
+                  '(%d full-result lanes)' % (int(cand.sum()), P,
+                                              int((~score_lanes).sum())),
+                  file=sys.stderr, flush=True)
+        return {'matches': matches, 'full_len': full_len,
                 'full_pct': full_pct}
 
     def run(self, progress=None) -> dict:
@@ -431,8 +497,9 @@ class AlignJobs:
 
     def _is_stats_rung(self, lb, amax) -> bool:
         """Chunks of this rung will launch through the per-lane stats
-        (stat-carrying, bitless) path in run_stats mode."""
-        if not self._stats_only:
+        (stat-carrying, bitless) path in run_stats mode, or the score-only
+        kernel in prefilter mode (same shape support)."""
+        if not (self._stats_only or self._score_only):
             return False
         from . import engine_v2
         return engine_v2.stats_mode_ok(lb, amax)
@@ -675,6 +742,11 @@ class AlignJobs:
             return ('gm', gm_gl)
 
         if self._is_stats_rung(lb, amax):
+            if self._score_only:
+                sc = engine_v2.align_batch_gather_scores_async(
+                    wpk_d, wlen_d, amat_d, alen_d, w_idx, a_idx,
+                    self.scoring, wcols=wcols)
+                return ('sc', sc)
             st = engine_v2.align_batch_gather_stats_async(
                 wpk_d, wlen_d, amat_d, alen_d, w_idx, a_idx, self.scoring,
                 wcols=wcols)
@@ -702,6 +774,11 @@ class AlignJobs:
             out['matches'][chunk] = np.asarray(h[0]).astype(np.int64)[:B]
             out['full_len'][chunk] = np.asarray(h[1]).astype(np.int64)[:B]
             self._stats_failed[chunk] = ~np.asarray(h[2])[:B]
+            return
+        if kind == 'sc':
+            out['raw_score'][chunk] = np.asarray(h[0]).astype(np.int64)[:B]
+            self._stats_failed[chunk] = ~np.asarray(h[1])[:B]
+            self._score_lanes[chunk] = True
             return
         res = engine_v2.finish_gather(h)
         for f in out:
@@ -811,7 +888,7 @@ class AlignJobs:
                 out['full_len'][k] = r.full_len
 
     def _package(self, out):
-        if self._group is not None or self._stats_only:
+        if self._group is not None or self._stats_only or self._score_only:
             # Group-max / stats mode: the consumers (run_group_max's fold
             # of the non-device-grouped remainder, run_stats) read the raw
             # integer fields — skip the two P-wide percent computations

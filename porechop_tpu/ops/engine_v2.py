@@ -592,6 +592,40 @@ def _groupmax_stats_fwd(reads, rl, adps, al, match, mismatch, gap_open,
     return engine_jax.stats_device(best_st, cell_i, cell_j, rl32, al32)
 
 
+def _score_fwd(reads, rl, adps, al, match, mismatch, gap_open, gap_ext,
+               mode):
+    """Per-lane (best_score, ok) for the middle round-0 score prefilter
+    (see kernel_pallas._score_kernel's bound note).  mode 1 runs the
+    score-only Pallas kernel (~half the stat-carrying kernel's VPU ops and
+    none of its payload VMEM planes); other modes fall back to the jnp
+    stat-carrying core's best score."""
+    rl32 = rl.astype(jnp.int32)
+    al32 = al.astype(jnp.int32)
+    ok = (rl32 > 0) & (al32 > 0)
+    if mode == 1:
+        from . import kernel_pallas
+        best = kernel_pallas.forward_score_pallas_impl(
+            reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
+        return best, ok
+    from . import engine_jax
+    best_sc, _, _, _ = engine_jax._align_core.__wrapped__(
+        reads.astype(jnp.int8), rl32, adps.astype(jnp.int8), al32,
+        match, mismatch, gap_open, gap_ext)
+    return best_sc, ok
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _fused_gather_scores(wpk, wlens, amat, alens, w_idx, a_idx, wcols,
+                         match, mismatch, gap_open, gap_ext, use_pallas):
+    """Gather + unpack + score-only forward: (best_score, ok) per lane."""
+    reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
+    rl = jnp.take(wlens, w_idx)
+    adps = jnp.take(amat, a_idx, axis=0)
+    al = jnp.take(alens, a_idx)
+    return _score_fwd(reads, rl, adps, al, match, mismatch,
+                      gap_open, gap_ext, use_pallas)
+
+
 def _stats_transposed() -> bool:
     """Column-in-sublane stats kernel (default): 150-bp windows pad
     151->160 instead of 151->256.  PORECHOP_TPU_STATS_T=0 selects the
@@ -717,6 +751,27 @@ def _sharded_stats_fn(mesh, wcols, match, mismatch, gap_open, gap_ext,
     sm = jax.shard_map(impl, mesh=mesh,
                        in_specs=(P(), P(), P(), P(), P(ax), P(ax)),
                        out_specs=(P(ax), P(ax), P(ax)))
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_scores_fn(mesh, wcols, match, mismatch, gap_open, gap_ext,
+                       mode):
+    """Mesh-sharded twin of _fused_gather_scores."""
+    ax = _mesh_axis(mesh)
+    from jax.sharding import PartitionSpec as P
+
+    def impl(wpk, wlens, amat, alens, w_idx, a_idx):
+        reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
+        rl = jnp.take(wlens, w_idx)
+        adps = jnp.take(amat, a_idx, axis=0)
+        al = jnp.take(alens, a_idx)
+        return _score_fwd(reads, rl, adps, al, match, mismatch,
+                          gap_open, gap_ext, mode)
+
+    sm = jax.shard_map(impl, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), P(ax), P(ax)),
+                       out_specs=(P(ax), P(ax)))
     return jax.jit(sm)
 
 
@@ -863,6 +918,38 @@ def align_batch_gather_stats_async(wpk, wlens, amat, alens, w_idx, a_idx,
                   jax.device_put(jnp.asarray(w_idx, jnp.int32), sb),
                   jax.device_put(jnp.asarray(a_idx, jnp.int32), sb))
     return _fused_gather_stats(
+        jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
+        jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
+        jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
+        int(wcols), match, mismatch, gap_open, gap_ext,
+        _pallas_mode(B, int(wcols), amat.shape[1]))
+
+
+def align_batch_gather_scores_async(wpk, wlens, amat, alens, w_idx, a_idx,
+                                    scoring=(3, -6, -5, -2), wcols=None):
+    """Enqueues the per-lane score-only launch and returns the (best_score,
+    ok) device arrays WITHOUT blocking.  Same shape gating as the stats
+    launch (stats_mode_ok)."""
+    assert supports(scoring)
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    if wcols is None:
+        wcols = 2 * wpk.shape[1]
+    B = len(w_idx)
+    m = _active_mesh(B)
+    if m is not None:
+        from ..parallel import mesh as pmesh
+        sb = pmesh.batch_sharding(m)
+        rep = pmesh.replicated(m)
+        mode = _pallas_mode(B // m.devices.size, int(wcols), amat.shape[1])
+        fn = _sharded_scores_fn(m, int(wcols), match, mismatch, gap_open,
+                                gap_ext, mode)
+        return fn(jax.device_put(jnp.asarray(wpk, jnp.uint8), rep),
+                  jax.device_put(jnp.asarray(wlens, jnp.int32), rep),
+                  jax.device_put(jnp.asarray(amat, jnp.int8), rep),
+                  jax.device_put(jnp.asarray(alens, jnp.int32), rep),
+                  jax.device_put(jnp.asarray(w_idx, jnp.int32), sb),
+                  jax.device_put(jnp.asarray(a_idx, jnp.int32), sb))
+    return _fused_gather_scores(
         jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
         jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
         jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),

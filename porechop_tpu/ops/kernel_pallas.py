@@ -381,7 +381,7 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
                   tsc_ref, ti_ref, tvf_ref, thf_ref,
                   rsc_ref, rj_ref, rvf_ref, rhf_ref,
                   *, A, T, NT, LANES, match, mismatch, gap_open, gap_ext,
-                  sdt, neg):
+                  sdt, neg, window):
     """Grid program (b, tile, i): DP row i+1 over columns [tile*T, +T).
 
     cm/ch_ref: (LANES, 2*AP) int32 — tile-edge carries, parity-buffered
@@ -456,10 +456,20 @@ def _tiled_kernel(reads_ref, alens_ref, rlens_ref, acode_ref,
     pre = jnp.where(col0, 0, pre)
 
     # H row: in-tile prefix max of f, chained through the tile-entry carry
-    # ch = H(i, c0); t = 0 takes the carry itself.
+    # ch = H(i, c0); t = 0 takes the carry itself.  The in-tile prefix
+    # window is bounded by the provable optimal-path gap-run cap (see the
+    # transposed-kernel note before _prefix_window): an in-tile opening
+    # more than `window` columns back implies a run longer than the cap,
+    # which is strictly beaten by simply ending at the run start (free end
+    # gaps) — so truncated H values never sit on, or tie into, an elected
+    # path, and every H value the walker consults along an elected path is
+    # within the window and therefore exact.  The carry path (ch_in,
+    # openings in earlier tiles) stays exact and unwindowed — its own
+    # truncations from prior tiles are covered by the same argument.
+    # 11 -> 6 passes at T=2048 with the default scheme.
     ch_in = carry_read(ch_ref, row)[:, None]            # H(i, c0)
     f = pre + gap_open - (jloc + 1) * gap_ext
-    n_pass = max(1, (T - 1).bit_length())
+    n_pass = max(1, (min(window, T) - 1).bit_length())
     cum = f
     for k in range(n_pass):
         sh = 1 << k
@@ -600,7 +610,8 @@ def forward_pallas_tiled_impl(reads, read_lens, adapters, adapter_lens,
     kernel = functools.partial(
         _tiled_kernel, A=A, T=T, NT=NT, LANES=LANES, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        sdt=sdt, neg=neg)
+        sdt=sdt, neg=neg,
+        window=_prefix_window(match, gap_open, gap_ext, A, T))
 
     out_shapes = (
         jax.ShapeDtypeStruct((A, B, L1p), jnp.uint8),
@@ -1181,3 +1192,172 @@ def forward_stats_pallas_t_impl(reads, read_lens, adapters, adapter_lens,
 
 forward_stats_pallas_t = jax.jit(forward_stats_pallas_t_impl,
                                  static_argnums=(4, 5, 6, 7))
+
+
+# ---------------------------------------------------------------------------
+# Score-only kernel: the middle-adapter round 0 never DISPLAYS a
+# sub-threshold identity — it only compares full_pct >= threshold and
+# recovers coordinates for hits (reference nanopore_read.py:216-243,
+# porechop.py:533-595).  A provable score bound turns that into a
+# prefilter: along the elected path,
+#     full_len = mat + mm + v + g_in + t_free
+# (diagonal matches, diagonal mismatches, interior vertical / horizontal
+# gap columns, free tail columns), every non-match column costs at most
+# Q = max(|mismatch|, |gap_open|, |gap_ext|)  (a gap run of length g costs
+# |open| + (g-1)|ext| <= Q*g), and free-tail columns cost nothing, so
+#     score >= match*mat - Q*(full_len - mat).
+# If the elected path's identity mat/full_len >= tau (with tau > Q/(match+Q))
+# then score >= full_len*((match+Q)*tau - Q) >= alen*((match+Q)*tau - Q),
+# because full_len = alen + g + tail >= alen.  Contrapositive: any lane
+# whose BEST score is below alen*((match+Q)*tau - Q) cannot have
+# full_pct >= 100*tau, and can be rejected without computing its stats.
+# (dispatch.AlignJobs.run_stats re-runs the surviving lanes — typically the
+# chimera rate — through the exact stat-carrying kernel.)
+#
+# This kernel computes ONLY the best semi-global score: no payload planes
+# (3 int32 VMEM planes and their selects/rolls gone), no trace bits, no
+# H plane (H never crosses rows), no freeze (rows past a lane's alen keep
+# computing, but their candidates are masked and the last-row fold happens
+# exactly at row == alen), no leftmost election (the numeric max over the
+# last row and last column of M is the score; tie-break bookkeeping is
+# only needed for coordinates).  ~45 VPU ops/cell vs ~85 for the
+# stat-carrying kernel.
+# ---------------------------------------------------------------------------
+
+
+def _score_kernel(reads_ref, alens_ref, rlens_ref, acode_ref, best_ref,
+                  m_ref, v_ref, tsc_ref,
+                  *, A, L1p, LANES, match, mismatch, gap_open, gap_ext,
+                  sdt, neg, window):
+    """Grid program (b, i): DP row i+1 for lane block b; best-score only."""
+    i = pl.program_id(1)
+    row = i + 1
+    jcol = lax.broadcasted_iota(jnp.int32, (LANES, L1p), 1)
+    rlen = rlens_ref[:, 0][:, None]
+    alen = alens_ref[:, 0][:, None]
+    col0 = jcol == 0
+    negs = jnp.int32(neg)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.zeros((LANES, L1p), sdt)
+        v_ref[:] = jnp.full((LANES, L1p), neg, sdt)
+        tsc_ref[:] = jnp.zeros((LANES, 1), jnp.int32)  # M(0, len) = 0
+
+    m = m_ref[:].astype(jnp.int32)
+    v = v_ref[:].astype(jnp.int32)
+    a_code = acode_ref[0].astype(jnp.int32)
+
+    nv = jnp.maximum(v + gap_ext, m + gap_open)
+    nv = jnp.where(col0, negs, nv)
+
+    eq = reads_ref[:].astype(jnp.int32) == a_code
+    sub = jnp.where(eq, match, mismatch)
+    d = pltpu.roll(m, 1, 1) + sub
+
+    pre = jnp.maximum(jnp.where(col0, negs, d), nv)
+    pre = jnp.where(col0, 0, pre)
+
+    # H prefix-max under the gap-run window bound (_prefix_window).
+    f = pre + gap_open - (jcol + 1) * gap_ext
+    n_pass = max(1, (window - 1).bit_length())
+    cum = f
+    for k in range(n_pass):
+        sh = 1 << k
+        rolled = pltpu.roll(cum, sh, 1)
+        cum = jnp.maximum(cum, jnp.where(jcol < sh, negs, rolled))
+    nh = jnp.where(col0, negs, pltpu.roll(cum, 1, 1) + jcol * gap_ext)
+    nh = jnp.maximum(nh, negs)         # storage floor (exact, see NEG16)
+
+    nm = jnp.maximum(pre, nh)
+    nm = jnp.where(col0, 0, nm)
+
+    # No freeze: rows past alen evolve garbage, but their candidates are
+    # masked below and the sdt range still holds (scores drift by at most
+    # match per extra row and the H chain is clamped at `neg`).
+    m_ref[:] = nm.astype(sdt)
+    v_ref[:] = nv.astype(sdt)
+
+    # Best-score fold: the semi-global score is the max of M over the last
+    # column (j == rlen, every row <= alen) and the last row (row == alen,
+    # j <= rlen — j == rlen is covered by the first term).
+    fold = (jcol == rlen) | ((row == alen) & (jcol < rlen))
+    cand = jnp.max(jnp.where(fold, nm, negs), axis=1)       # (LANES,)
+    act1 = (row <= alen)[:, 0]
+    tsc_ref[:, 0] = jnp.where(act1, jnp.maximum(tsc_ref[:, 0], cand),
+                              tsc_ref[:, 0])
+
+    @pl.when(i == A - 1)
+    def _():
+        best_ref[:, 0] = tsc_ref[:, 0]
+
+
+def forward_score_pallas_impl(reads, read_lens, adapters, adapter_lens,
+                              match, mismatch, gap_open, gap_ext):
+    """Best-score-only forward: returns (B,) int32 best semi-global scores.
+    Same shape constraints as forward_pallas_impl (supports_shape)."""
+    B, L = reads.shape
+    A = adapters.shape[1]
+    L1p = _round_up(L + 1, 128)
+    assert L1p <= MAX_L1P, (L1p, 'bucket too large for the pallas kernel')
+    sdt, neg = _sdt_for(match, mismatch, gap_open, gap_ext, A)
+    LANES = _lanes_for(B, L1p, sdt)
+    assert B % LANES == 0, (B, LANES)
+
+    reads_s = jnp.pad(reads.astype(jnp.int8), ((0, 0), (1, L1p - L - 1)),
+                      constant_values=4)
+    acodes = adapters.astype(jnp.int32).T[:, :, None]
+    rlens = read_lens.astype(jnp.int32).reshape(B, 1)
+    alens = adapter_lens.astype(jnp.int32).reshape(B, 1)
+
+    kernel = functools.partial(
+        _score_kernel, A=A, L1p=L1p, LANES=LANES, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        sdt=sdt, neg=neg,
+        window=_prefix_window(match, gap_open, gap_ext, A, L1p))
+
+    def small():
+        return pl.BlockSpec((LANES, 1), lambda b, i: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    best = pl.pallas_call(
+        kernel,
+        grid=(B // LANES, A),
+        in_specs=[
+            pl.BlockSpec((LANES, L1p), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            small(),
+            small(),
+            pl.BlockSpec((1, LANES, 1), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=small(),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((LANES, L1p), sdt),
+            pltpu.VMEM((LANES, L1p), sdt),
+            pltpu.VMEM((LANES, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(reads_s, alens, rlens, acodes)
+    return best[:, 0]
+
+
+forward_score_pallas = jax.jit(forward_score_pallas_impl,
+                               static_argnums=(4, 5, 6, 7))
+
+
+def score_prefilter_coef(threshold, match, mismatch, gap_open, gap_ext):
+    """The per-adapter-base score floor coefficient of the prefilter note
+    above: a lane can only reach full_pct >= threshold if its best score is
+    >= coef * alen.  Returns 0.0 when the bound is vacuous (threshold too
+    low or a non-positive match score) — callers must then skip the
+    prefilter.  tau is shaved by 1e-6 to absorb the reference's 6-decimal
+    percent round-trip (dispatch.seqan_pct_vec)."""
+    if match <= 0:
+        return 0.0
+    Q = max(abs(mismatch), abs(gap_open), abs(gap_ext))
+    tau = threshold / 100.0 - 1e-6
+    coef = (match + Q) * tau - Q
+    return coef if coef > 0 else 0.0

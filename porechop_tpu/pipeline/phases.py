@@ -496,7 +496,15 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
             # coordinates the replay ever consumes (the reference masks
             # that hit and realigns everything after it on the masked
             # read, nanopore_read.py:221-243).
-            round0 = jobs0.run_stats(progress=prog)
+            #
+            # prefilter: this caller only consumes full_pct >= threshold
+            # (and passing lanes' values), so the dense pass may run the
+            # score-only kernel and certify sub-threshold lanes from a
+            # provable score bound (dispatch.run_stats / kernel_pallas
+            # _score_kernel note) — the exact stats re-run covers only
+            # the surviving lanes.
+            round0 = jobs0.run_stats(progress=prog,
+                                     prefilter=middle_threshold)
         else:
             round0 = jobs0.run(progress=prog)
         fp0 = round0['full_pct'].reshape(read_count, n_ad)
