@@ -1292,6 +1292,21 @@ def _score_kernel(reads_ref, alens_ref, rlens_ref, acode_ref, best_ref,
         best_ref[:, 0] = tsc_ref[:, 0]
 
 
+def _lanes_for_score(B, L1p):
+    """Lane election for the score kernel: double the generic element
+    budget.  The generic cap is set by the stat-carrying kernel's ~15
+    spilled int32 row temporaries; the score kernel keeps roughly half as
+    many live (no payload planes, no trace bits, no flag bookkeeping), so
+    twice the lanes spill the same bytes — and at the middle shape
+    (L1p ~ 10k) the per-grid-step Mosaic dispatch is over half the wall,
+    so halving the step count pays directly."""
+    lanes = max(32, (2 * _BLOCK_ELEMS) // L1p)
+    lanes = 1 << (lanes.bit_length() - 1)
+    while lanes > 32 and B % lanes:
+        lanes //= 2
+    return lanes
+
+
 def forward_score_pallas_impl(reads, read_lens, adapters, adapter_lens,
                               match, mismatch, gap_open, gap_ext):
     """Best-score-only forward: returns (B,) int32 best semi-global scores.
@@ -1301,7 +1316,7 @@ def forward_score_pallas_impl(reads, read_lens, adapters, adapter_lens,
     L1p = _round_up(L + 1, 128)
     assert L1p <= MAX_L1P, (L1p, 'bucket too large for the pallas kernel')
     sdt, neg = _sdt_for(match, mismatch, gap_open, gap_ext, A)
-    LANES = _lanes_for(B, L1p, sdt)
+    LANES = _lanes_for_score(B, L1p)
     assert B % LANES == 0, (B, LANES)
 
     reads_s = jnp.pad(reads.astype(jnp.int8), ((0, 0), (1, L1p - L - 1)),
