@@ -535,11 +535,28 @@ class AlignJobs:
     # launch, then chews the native queue, then harvests), so leaving it
     # idle during a big phase wastes a real compute resource.  Measured on
     # the build host: 2-vCPU AVX-512 native ~1.4-2.3e9; device effective
-    # (kernel + gather/unpack + harvest) ~6e9-1.1e10.  Conservative
-    # defaults; override per deployment.
+    # (kernel + gather/unpack + harvest) ~6e9-1.1e10 for the bitmap path.
+    # The bitless paths run much faster per cell (no trace-bit HBM write,
+    # no walk): stats/group-max ~1.2-1.8e10 measured, score-only
+    # 1.8-3.7e10 (BASELINE.md r4/r5 tables) — using the bitmap rate for
+    # them over-diverts work to the slow native queue, so the model picks
+    # the rate by the active mode.  Conservative defaults; override per
+    # deployment.
     _HOST_CELLS_S = float(os.environ.get('PORECHOP_TPU_HOST_CELLS_S',
                                          '1.6e9'))
     _DEV_CELLS_S = float(os.environ.get('PORECHOP_TPU_DEV_CELLS_S', '6e9'))
+    _DEV_CELLS_S_STATS = float(os.environ.get(
+        'PORECHOP_TPU_DEV_CELLS_S_STATS', '1.2e10'))
+    _DEV_CELLS_S_SCORE = float(os.environ.get(
+        'PORECHOP_TPU_DEV_CELLS_S_SCORE', '2.4e10'))
+
+    def _dev_rate(self) -> float:
+        """Device cells/s for the work-share model under the active mode."""
+        if self._score_only:
+            return self._DEV_CELLS_S_SCORE
+        if self._stats_only or self._group is not None:
+            return self._DEV_CELLS_S_STATS
+        return self._DEV_CELLS_S
 
     def _share_with_native(self, small, small_meta, device_work):
         """Balances one phase's work across BOTH engines: diverts job
@@ -554,7 +571,7 @@ class AlignJobs:
         def pad_cells(lb, amax, n):
             return _bucket_lanes(n) * (lb + 1) * amax if n else 0
 
-        rh, rd = self._HOST_CELLS_S, self._DEV_CELLS_S
+        rh, rd = self._HOST_CELLS_S, self._dev_rate()
         kept = list(device_work)
         c_dev = float(sum(pad_cells(lb, amax, len(c))
                           for lb, amax, c in kept))
