@@ -109,6 +109,23 @@ def encode(seq: str) -> np.ndarray:
     return _CODE[np.frombuffer(seq.encode('ascii'), dtype=np.uint8)]
 
 
+def encode_many(seqs) -> list:
+    """Bulk twin of encode: one join + one table lookup for a whole list.
+
+    Per-call numpy overhead on encode() is ~10 us, which at phase scale
+    (tens of thousands of windows) costs more than the encoding itself —
+    measured 0.4 s of a 6 s 8192-read run.  Returns a list of per-sequence
+    views into one freshly-allocated code array; the views are writable
+    and disjoint, so callers (the middle phase masks hits in place) may
+    mutate them safely."""
+    if not seqs:
+        return []
+    codes = _CODE[np.frombuffer(''.join(seqs).encode('ascii'),
+                                dtype=np.uint8)]
+    offs = np.cumsum([len(s) for s in seqs])
+    return np.split(codes, offs[:-1])
+
+
 def seqan_pct(matches: int, length: int) -> float:
     """Percent identity with the reference's round trip through
     C++ std::to_string (6 decimals) and Python float()."""

@@ -116,10 +116,9 @@ def find_matching_adapter_sets(check_reads, verbosity, end_size,
     # adapter-set start/end sequence.  Pairs are built block-per-entry with
     # vectorized fills (a Python loop per (read x set) costs more than the
     # DP itself at --check_reads scale).
-    windows = []
-    for read in check_reads:
-        windows.append(spec.encode(read.seq[:end_size]))
-        windows.append(spec.encode(read.seq[-end_size:]))
+    windows = spec.encode_many(
+        [s for read in check_reads
+         for s in (read.seq[:end_size], read.seq[-end_size:])])
     adapter_seqs = []
     adapter_idx = {}
     entries = []   # (set_idx, side, adapter_idx)
@@ -288,10 +287,9 @@ def find_adapters_at_read_ends(reads, matching_sets, verbosity, end_size,
     start_sets = [m for m in matching_sets if m.start_sequence]
     end_sets = [m for m in matching_sets if m.end_sequence]
 
-    windows = []
-    for read in reads:
-        windows.append(spec.encode(read.seq[:end_size]))
-        windows.append(spec.encode(read.seq[-end_size:]))
+    windows = spec.encode_many(
+        [s for read in reads
+         for s in (read.seq[:end_size], read.seq[-end_size:])])
     adapter_seqs, adapter_idx = [], {}
 
     def aidx(seq):
@@ -453,9 +451,11 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
     if verbosity == 1:
         output_progress_line(0, read_count, print_dest)
 
-    # Mutable masked code arrays (mask char '-' is Dna5 'N' = code 4).
-    masked = [spec.encode(r.get_seq_with_start_end_adapters_trimmed())
-              for r in reads]
+    # Mutable masked code arrays (mask char '-' is Dna5 'N' = code 4;
+    # encode_many's views are disjoint and writable, so in-place masking
+    # is safe).
+    masked = spec.encode_many(
+        [r.get_seq_with_start_end_adapters_trimmed() for r in reads])
     a_code_list = [spec.encode(seq) for _, seq in adapters]
 
     # Round 0: ONE dense launch of every (read, adapter) pair against the
