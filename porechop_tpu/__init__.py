@@ -16,3 +16,10 @@ __all__ = ['__version__']
 from .ops import _jax_setup as _jax_setup
 
 _jax_setup.configure()
+
+# Allocator tuning: keep large numpy buffers resident across phases/runs —
+# on overcommitted hosts a fresh page fault costs ~50x a warm write
+# (utils/malloc_tune.py).  Opt out: PORECHOP_TPU_NO_MALLOC_TUNE=1.
+from .utils import malloc_tune as _malloc_tune
+
+_malloc_tune.configure()

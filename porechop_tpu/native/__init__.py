@@ -80,7 +80,8 @@ def traceback_lib():
             u8p, i8p, i8p, i32p, i32p, u8p, u8p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
         lib.traceback_stats.restype = None
-        for fn_name in ('align_host_batch', 'align_simd_batch'):
+        for fn_name in ('align_host_batch', 'align_simd_batch',
+                        'align_simd_scores'):
             fn = getattr(lib, fn_name)
             fn.argtypes = [
                 i8p, i64p, i8p, i64p, i64p, i64p, ctypes.c_int64,
@@ -91,13 +92,18 @@ def traceback_lib():
     return lib
 
 
-def align_host_batch(windows, adapters, pairs, scoring, n_threads=0):
+def align_host_batch(windows, adapters, pairs, scoring, n_threads=0,
+                     score_only=False):
     """Batched host alignment via the native engine.
 
     windows/adapters: lists of np.int8 Dna5 code arrays; pairs (P, 2) int64.
     Returns a (P, 9) int64 array (see align_host.cpp) or None when the
     native library is unavailable or the scheme is linear (open == ext).
-    """
+
+    score_only: SIMD path skips the trace-bit stream and the walker; only
+    column 4 (best score) and the degenerate markers (column 0 == -1) are
+    meaningful.  The scalar fallback ignores the flag (full results are a
+    superset)."""
     import numpy as np
 
     match, mismatch, open_, ext = (int(x) for x in scoring)
@@ -129,8 +135,12 @@ def align_host_batch(windows, adapters, pairs, scoring, n_threads=0):
 
     pr = np.ascontiguousarray(pairs[:, 0])
     pa = np.ascontiguousarray(pairs[:, 1])
-    fn = (lib.align_host_batch if os.environ.get('PORECHOP_TPU_NO_SIMD')
-          else lib.align_simd_batch)
+    if os.environ.get('PORECHOP_TPU_NO_SIMD'):
+        fn = lib.align_host_batch
+    elif score_only:
+        fn = lib.align_simd_scores
+    else:
+        fn = lib.align_simd_batch
     fn(p(rbuf, ctypes.c_int8), p(roff, ctypes.c_int64),
        p(abuf, ctypes.c_int8), p(aoff, ctypes.c_int64),
        p(pr, ctypes.c_int64), p(pa, ctypes.c_int64),

@@ -68,7 +68,12 @@ struct Scratch {
 // ~1.4e9 cells/s; short windows that fit L1 run ~3.5e9.
 constexpr int64_t TILE = 128;
 
-template <typename E>
+// SCORE_ONLY (the dispatcher's run_scores prefilter mode,
+// ops/dispatch.py): skip the trace-bit stream (1 byte/cell, the loop's
+// only memory write) and the walker entirely — consumers read only the
+// best score (out[4]); the ~1% of lanes that survive the score bound
+// re-run through the full path.
+template <typename E, bool SCORE_ONLY>
 void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
                const int8_t* abuf, const int64_t* aoff,
                const int64_t* pair_read, const int64_t* pair_adapter,
@@ -88,7 +93,8 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
   s.h.assign(TILE + 1, vsplat(neg));
   std::vector<V> cm_old(A + 1, vsplat(0)), ch_old(A + 1, vsplat(neg));
   std::vector<V> cm_new(A + 1, vsplat(0)), ch_new(A + 1, vsplat(neg));
-  if ((int64_t)s.bits.size() < A * G * L1) s.bits.resize(A * G * L1);
+  if (!SCORE_ONLY && (int64_t)s.bits.size() < A * G * L1)
+    s.bits.resize(A * G * L1);
   s.reads.assign(G * L, 4);
   s.adapters.assign(G * A, 4);
   s.reads_il.assign(L * G, 4);
@@ -140,8 +146,9 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
   }
 
   // Column-0 trace bytes (the boundary column every row writes as 0).
-  for (int64_t i = 1; i <= A; ++i)
-    std::memset(s.bits.data() + (i - 1) * G * L1, 0, G);
+  if (!SCORE_ONLY)
+    for (int64_t i = 1; i <= A; ++i)
+      std::memset(s.bits.data() + (i - 1) * G * L1, 0, G);
 
   // Tiles over global columns 1..L; carries start at the column-0
   // boundary (M(i, 0) = 0, H(i, 0) = NEG for every row), so the first
@@ -156,7 +163,8 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
       h[t] = vsplat(neg);
     }
     for (int64_t i = 1; i <= A; ++i) {
-      uint8_t* brow = s.bits.data() + (i - 1) * G * L1 + c0 * G;
+      uint8_t* brow =
+          SCORE_ONLY ? nullptr : s.bits.data() + (i - 1) * G * L1 + c0 * G;
       const V ac = ac_all[i - 1];
       const V active = active_all[i - 1];
       V diag_prev = cm_old[i - 1];          // M(i-1, c0-1)
@@ -181,10 +189,12 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
         const V gap = mvbit ? nv : nh;
         const V dbit = (d >= gap);
         const V nm = dbit ? d : gap;
-        const V bits = (hbit & one) | (vbit & two) | (dbit & four) |
-                       (mvbit & eight);
-        const VU8 b8 = __builtin_convertvector(bits, VU8);
-        std::memcpy(brow + t * G, &b8, sizeof(b8));
+        if (!SCORE_ONLY) {
+          const V bits = (hbit & one) | (vbit & two) | (dbit & four) |
+                         (mvbit & eight);
+          const VU8 b8 = __builtin_convertvector(bits, VU8);
+          std::memcpy(brow + t * G, &b8, sizeof(b8));
+        }
         diag_prev = m[t];                   // M(i-1, j) before update
         const V m_stored = active ? nm : m[t];
         const V v_stored = active ? nv : v[t];
@@ -241,6 +251,16 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
     }
   }
 
+  if (SCORE_ONLY) {
+    for (int l = 0; l < G; ++l) {
+      const int64_t k = g.jobs[l];
+      if (k < 0) continue;
+      int64_t* o = out + k * 9;
+      o[0] = 0; o[1] = 0; o[2] = 0; o[3] = 0;
+      o[4] = best[l]; o[5] = 0; o[6] = 0; o[7] = 0; o[8] = 0;
+    }
+    return;
+  }
   std::vector<int64_t> stats(G * 8);
   traceback_stats_ex(s.bits.data(), L1 * G, 1, G, s.reads.data(),
                      s.adapters.data(), ci, cj, vf, hf, lr, la, G, L, A,
@@ -255,7 +275,7 @@ void run_group(const Group<E>& g, const int8_t* rbuf, const int64_t* roff,
   }
 }
 
-template <typename E>
+template <typename E, bool SCORE_ONLY>
 void run_all(const int8_t* reads, const int64_t* read_off,
              const int8_t* adapters, const int64_t* adapter_off,
              const int64_t* pair_read, const int64_t* pair_adapter,
@@ -304,9 +324,9 @@ void run_all(const int8_t* reads, const int64_t* read_off,
     for (;;) {
       const int64_t gi = next.fetch_add(1);
       if (gi >= n_groups) break;
-      run_group<E>(groups[gi], reads, read_off, adapters, adapter_off,
-                   pair_read, pair_adapter, match, mismatch, open_, ext, neg,
-                   s, out);
+      run_group<E, SCORE_ONLY>(groups[gi], reads, read_off, adapters,
+                               adapter_off, pair_read, pair_adapter, match,
+                               mismatch, open_, ext, neg, s, out);
     }
   };
   if (n_threads == 1) {
@@ -318,16 +338,12 @@ void run_all(const int8_t* reads, const int64_t* read_off,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Same interface as align_host_batch (align_host.cpp).
-void align_simd_batch(const int8_t* reads, const int64_t* read_off,
-                      const int8_t* adapters, const int64_t* adapter_off,
-                      const int64_t* pair_read, const int64_t* pair_adapter,
-                      int64_t P, int match, int mismatch, int open_, int ext,
-                      int64_t n_threads, int64_t* out) {
+template <bool SCORE_ONLY>
+void simd_batch_impl(const int8_t* reads, const int64_t* read_off,
+                     const int8_t* adapters, const int64_t* adapter_off,
+                     const int64_t* pair_read, const int64_t* pair_adapter,
+                     int64_t P, int match, int mismatch, int open_, int ext,
+                     int64_t n_threads, int64_t* out) {
   // int16 lanes are safe when every reachable score fits comfortably:
   // |M| <= A*max(|match|,|mismatch|) for the path part and the boundary
   // chains stay above NEG16 + accumulated penalties.
@@ -342,13 +358,13 @@ void align_simd_batch(const int8_t* reads, const int64_t* read_off,
                                 std::abs((int64_t)ext)});
   const int64_t bound = (max_la + 2) * mag + std::abs((int64_t)open_);
   if (bound < 8000) {
-    run_all<int16_t>(reads, read_off, adapters, adapter_off, pair_read,
-                     pair_adapter, P, match, mismatch, open_, ext,
-                     (int16_t)-8192, n_threads, out);
+    run_all<int16_t, SCORE_ONLY>(reads, read_off, adapters, adapter_off,
+                                 pair_read, pair_adapter, P, match, mismatch,
+                                 open_, ext, (int16_t)-8192, n_threads, out);
   } else {
-    run_all<int32_t>(reads, read_off, adapters, adapter_off, pair_read,
-                     pair_adapter, P, match, mismatch, open_, ext,
-                     -(1 << 30), n_threads, out);
+    run_all<int32_t, SCORE_ONLY>(reads, read_off, adapters, adapter_off,
+                                 pair_read, pair_adapter, P, match, mismatch,
+                                 open_, ext, -(1 << 30), n_threads, out);
   }
 
   for (int64_t k = 0; k < P; ++k) {
@@ -361,6 +377,33 @@ void align_simd_batch(const int8_t* reads, const int64_t* read_off,
       o[4] = INT32_MIN; o[5] = 0; o[6] = 0; o[7] = 0; o[8] = 0;
     }
   }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Same interface as align_host_batch (align_host.cpp).
+void align_simd_batch(const int8_t* reads, const int64_t* read_off,
+                      const int8_t* adapters, const int64_t* adapter_off,
+                      const int64_t* pair_read, const int64_t* pair_adapter,
+                      int64_t P, int match, int mismatch, int open_, int ext,
+                      int64_t n_threads, int64_t* out) {
+  simd_batch_impl<false>(reads, read_off, adapters, adapter_off, pair_read,
+                         pair_adapter, P, match, mismatch, open_, ext,
+                         n_threads, out);
+}
+
+// Score-only twin (dispatch run_scores prefilter): only out[k*9+4] (best
+// score) and the degenerate-lane markers are meaningful.
+void align_simd_scores(const int8_t* reads, const int64_t* read_off,
+                       const int8_t* adapters, const int64_t* adapter_off,
+                       const int64_t* pair_read, const int64_t* pair_adapter,
+                       int64_t P, int match, int mismatch, int open_, int ext,
+                       int64_t n_threads, int64_t* out) {
+  simd_batch_impl<true>(reads, read_off, adapters, adapter_off, pair_read,
+                        pair_adapter, P, match, mismatch, open_, ext,
+                        n_threads, out);
 }
 
 }  // extern "C"

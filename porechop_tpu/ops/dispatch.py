@@ -96,16 +96,32 @@ def _use_jax() -> bool:
         return False
 
 
-def stats_path_active(scoring=(3, -6, -5, -2)) -> bool:
-    """Whether AlignJobs.run_stats would route bulk work through the device
-    stats kernels.  When the device path is off (forced host, no jax, or an
-    unsupported scoring scheme) the full run computes coordinates anyway,
-    so a separate coordinate pass for hits would be pure overhead — callers
-    should keep the single-pass flow."""
-    if not _use_jax():
+def stats_path_active(scoring=(3, -6, -5, -2), prefilter=None) -> bool:
+    """Whether AlignJobs.run_stats would route bulk work through a cheaper
+    stats/score execution than the full run.
+
+    Device path on: the stat-carrying kernels skip the trace bitmap and
+    walk, so the stats flow always pays.  Device path off (forced host, no
+    jax): a plain stats pass costs the same as the full run (the native
+    engine computes coordinates anyway), so the flow only pays when the
+    caller supplies a `prefilter` threshold whose score bound is non-vacuous
+    AND the native engine's score-only mode is available — then one
+    walk-free scan at ~2x plus an exact re-run of the ~1% survivors beats
+    the single full pass."""
+    if _use_jax():
+        from . import engine_jax
+        return engine_jax.supports(scoring)
+    if prefilter is None:
         return False
-    from . import engine_jax
-    return engine_jax.supports(scoring)
+    from . import kernel_pallas
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    if kernel_pallas.score_prefilter_coef(prefilter, match, mismatch,
+                                          gap_open, gap_ext) <= 0:
+        return False
+    if os.environ.get('PORECHOP_TPU_NO_NATIVE') or gap_open == gap_ext:
+        return False
+    from .. import native
+    return native.traceback_lib() is not None
 
 
 def seqan_pct_vec(matches: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -228,7 +244,8 @@ class AlignJobs:
             match, mismatch, gap_open, gap_ext = self.scoring
             coef = kernel_pallas.score_prefilter_coef(
                 prefilter, match, mismatch, gap_open, gap_ext)
-            if coef > 0 and _use_jax() and self._jax_supports():
+            if coef > 0 and ((_use_jax() and self._jax_supports())
+                             or self._native_available()):
                 return self._run_stats_prefiltered(coef, progress)
         self._stats_only = True
         self._stats_failed = np.zeros(len(self.pairs), dtype=bool)
@@ -824,7 +841,8 @@ class AlignJobs:
         pairs = self.pairs[todo]
         t0 = time.perf_counter() if _TIMING else 0.0
         res = native.align_host_batch(self.windows, self.adapters, pairs,
-                                      self.scoring)
+                                      self.scoring,
+                                      score_only=self._score_only)
         if res is None:
             return False
         if _TIMING:
@@ -832,9 +850,18 @@ class AlignJobs:
             cells = int(sum(len(self.windows[self.pairs[k, 0]])
                             * len(self.adapters[self.pairs[k, 1]])
                             for k in todo))
-            print('[timing] native batch P=%d: %.3fs (%.2e cells/s)'
-                  % (len(todo), dt, cells / max(dt, 1e-9)),
+            print('[timing] native batch P=%d: %.3fs (%.2e cells/s%s)'
+                  % (len(todo), dt, cells / max(dt, 1e-9),
+                     ', score-only' if self._score_only else ''),
                   file=sys.stderr, flush=True)
+        if self._score_only:
+            # Score-prefilter mode: only the best score (and the
+            # degenerate marker) is meaningful; these lanes join the
+            # score-only set so survivors re-run through the exact path.
+            out['raw_score'][todo] = res[:, 4]
+            out['read_start'][todo] = res[:, 0]
+            self._score_lanes[todo] = True
+            return True
         fields = ('read_start', 'read_end', 'adapter_start', 'adapter_end',
                   'raw_score', 'matches', 'aligned_len', 'full_len')
         for c, f in enumerate(fields):

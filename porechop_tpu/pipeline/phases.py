@@ -480,7 +480,8 @@ def find_adapters_in_read_middles(reads, matching_sets, verbosity,
         read_count, n_ad, lambda k: k // max(n_ad, 1), print_dest,
         enabled=verbosity == 1,
         line_of=(lambda r: r) if threads == 1 else (lambda r: r + 1))
-    stats_only = stats_path_active(scoring_scheme_vals)
+    stats_only = stats_path_active(scoring_scheme_vals,
+                                   prefilter=middle_threshold)
     if n_ad and read_count:
         pairs0 = np.column_stack([
             np.repeat(np.arange(read_count, dtype=np.int64), n_ad),

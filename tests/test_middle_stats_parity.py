@@ -104,8 +104,8 @@ def _matching_sets():
 def _run_middle(reads, stats_on, monkeypatch, threshold=85.0):
     monkeypatch.setattr(
         phases, 'stats_path_active',
-        (lambda scoring: stats_path_active(scoring)) if stats_on
-        else (lambda scoring: False))
+        (lambda scoring, **kw: stats_path_active(scoring, **kw)) if stats_on
+        else (lambda scoring, **kw: False))
     dest = io.StringIO()
     dumps = phases.find_adapters_in_read_middles(
         reads, _matching_sets(), verbosity=0, middle_threshold=threshold,
