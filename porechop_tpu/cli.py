@@ -103,7 +103,8 @@ def _run_pipeline(args):
                                                args.print_dest,
                                                args.adapter_threshold,
                                                args.threads,
-                                               stats_merge=stats_merge)
+                                               stats_merge=stats_merge,
+                                               exact_scores=args.verbosity > 0)
     if mh_text:
         multihost.print_detection_block(n_check, args.print_dest)
     t0 = _mark('detect', t0)
@@ -230,7 +231,8 @@ def _run_streaming_pipeline(args, chunk_size, stream_mod):
                                                args.scoring_scheme_vals,
                                                args.print_dest,
                                                args.adapter_threshold,
-                                               args.threads)
+                                               args.threads,
+                                               exact_scores=args.verbosity > 0)
     matching_sets = fix_up_1d2_sets(matching_sets)
     if args.barcode_dir:
         forward_or_reverse_barcodes = choose_barcoding_kit(matching_sets,

@@ -96,6 +96,19 @@ def _use_jax() -> bool:
         return False
 
 
+def score_path_available(scoring=(3, -6, -5, -2)) -> bool:
+    """Whether a walk-free score-only execution exists for this scheme:
+    the device/jnp engines (jax on) or the native SIMD score mode."""
+    if _use_jax():
+        from . import engine_jax
+        return engine_jax.supports(scoring)
+    _, _, gap_open, gap_ext = (int(x) for x in scoring)
+    if os.environ.get('PORECHOP_TPU_NO_NATIVE') or gap_open == gap_ext:
+        return False
+    from .. import native
+    return native.traceback_lib() is not None
+
+
 def stats_path_active(scoring=(3, -6, -5, -2), prefilter=None) -> bool:
     """Whether AlignJobs.run_stats would route bulk work through a cheaper
     stats/score execution than the full run.
@@ -118,10 +131,7 @@ def stats_path_active(scoring=(3, -6, -5, -2), prefilter=None) -> bool:
     if kernel_pallas.score_prefilter_coef(prefilter, match, mismatch,
                                           gap_open, gap_ext) <= 0:
         return False
-    if os.environ.get('PORECHOP_TPU_NO_NATIVE') or gap_open == gap_ext:
-        return False
-    from .. import native
-    return native.traceback_lib() is not None
+    return score_path_available(scoring)
 
 
 def seqan_pct_vec(matches: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -166,6 +176,8 @@ class AlignJobs:
         self._stats_failed = None   # (P,) bool: device-stats lanes with ok=0
         self._score_only = False    # score-prefilter mode: raw score only
         self._score_lanes = None    # (P,) bool: lanes with score-only results
+        self._gscore = None         # (group_ids, n_groups) group-score mode
+        self._gsacc = None          # (n_groups,) int64 max-score fold
 
     # Window rungs above this bypass the device group-max (its float32
     # fraction key is exact only while full_len <= 2048).
@@ -218,6 +230,38 @@ class AlignJobs:
             gacc[upd, 1] = best_l[upd]
         return {'matches': gacc[:, 0], 'full_len': gacc[:, 1],
                 'full_pct': seqan_pct_vec(gacc[:, 0], gacc[:, 1])}
+
+    def run_group_score_max(self, group_ids, n_groups, progress=None):
+        """Per-group max raw score (the detection phase's prefilter pass,
+        phases.find_matching_adapter_sets): device chunks run the
+        score-only kernel and reduce on device (only (n_groups,) int32
+        ships back); native chunks run the walk-free score-only batch and
+        fold on the host.  Returns a (n_groups,) int64 array; groups whose
+        every lane failed stay at the -2^31+1 floor."""
+        group_ids = np.asarray(group_ids, dtype=np.int64)
+        assert group_ids.shape == (len(self.pairs),)
+        P = len(self.pairs)
+        self._gscore = (group_ids, int(n_groups))
+        self._score_only = True
+        self._gsacc = np.full(n_groups, -2 ** 31 + 1, dtype=np.int64)
+        self._score_lanes = np.zeros(P, dtype=bool)
+        self._stats_failed = np.zeros(P, dtype=bool)
+        self._dev_grouped = np.zeros(P, dtype=bool)
+        try:
+            res = self.run(progress=progress)
+        finally:
+            self._gscore = None
+            self._score_only = False
+            gsacc, self._gsacc = self._gsacc, None
+            failed, self._stats_failed = self._stats_failed, None
+            dev, self._dev_grouped = self._dev_grouped, None
+            self._score_lanes = None
+        rest = np.nonzero(~dev)[0]
+        if rest.size:
+            ok = (res['read_start'][rest] != -1) & ~failed[rest]
+            np.maximum.at(gsacc, group_ids[rest[ok]],
+                          res['raw_score'][rest[ok]])
+        return gsacc
 
     def run_stats(self, progress=None, prefilter=None) -> dict:
         """Percent-identity-only execution: returns {'matches', 'full_len',
@@ -776,6 +820,14 @@ class AlignJobs:
             return ('gm', gm_gl)
 
         if self._is_stats_rung(lb, amax):
+            if self._gscore is not None:
+                gids, n_groups = self._gscore
+                g_idx = np.full(Bp, n_groups, dtype=np.int32)  # pad -> dummy
+                g_idx[:B] = gids[chunk]
+                gs = engine_v2.align_batch_gather_group_scoremax_async(
+                    wpk_d, wlen_d, amat_d, alen_d, w_idx, a_idx, g_idx,
+                    n_groups, self.scoring, wcols=wcols)
+                return ('gsc', gs)
             if self._score_only:
                 sc = engine_v2.align_batch_gather_scores_async(
                     wpk_d, wlen_d, amat_d, alen_d, w_idx, a_idx,
@@ -813,6 +865,11 @@ class AlignJobs:
             out['raw_score'][chunk] = np.asarray(h[0]).astype(np.int64)[:B]
             self._stats_failed[chunk] = ~np.asarray(h[1])[:B]
             self._score_lanes[chunk] = True
+            return
+        if kind == 'gsc':
+            np.maximum(self._gsacc, np.asarray(h).astype(np.int64),
+                       out=self._gsacc)
+            self._dev_grouped[chunk] = True
             return
         res = engine_v2.finish_gather(h)
         for f in out:

@@ -604,8 +604,11 @@ def _score_fwd(reads, rl, adps, al, match, mismatch, gap_open, gap_ext,
     ok = (rl32 > 0) & (al32 > 0)
     if mode == 1:
         from . import kernel_pallas
-        best = kernel_pallas.forward_score_pallas_impl(
-            reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
+        use_t = (_stats_transposed() and reads.shape[0] % 128 == 0
+                 and reads.shape[1] < _STATS_T_MAX_L)
+        fwd = (kernel_pallas.forward_score_pallas_t_impl if use_t
+               else kernel_pallas.forward_score_pallas_impl)
+        best = fwd(reads, rl, adps, al, match, mismatch, gap_open, gap_ext)
         return best, ok
     from . import engine_jax
     best_sc, _, _, _ = engine_jax._align_core.__wrapped__(
@@ -624,6 +627,31 @@ def _fused_gather_scores(wpk, wlens, amat, alens, w_idx, a_idx, wcols,
     al = jnp.take(alens, a_idx)
     return _score_fwd(reads, rl, adps, al, match, mismatch,
                       gap_open, gap_ext, use_pallas)
+
+
+def _group_scoremax_reduce(best, ok, g_idx, n_groups, axis_name=None):
+    """Per-group max best score; pad/failed lanes fold into a dummy slot."""
+    slot = jnp.where(ok, g_idx, n_groups)
+    gs = jnp.full((n_groups + 1,), jnp.int32(-2 ** 31 + 1),
+                  jnp.int32).at[slot].max(best.astype(jnp.int32))
+    if axis_name is not None:
+        gs = lax.pmax(gs, axis_name)
+    return gs[:n_groups]
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _fused_gather_group_scoremax(wpk, wlens, amat, alens, w_idx, a_idx,
+                                 g_idx, wcols, n_groups, match, mismatch,
+                                 gap_open, gap_ext, use_pallas):
+    """Gather + score-only forward + per-group segment max: the detection
+    prefilter's device step (only (n_groups,) int32 comes back)."""
+    reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
+    rl = jnp.take(wlens, w_idx)
+    adps = jnp.take(amat, a_idx, axis=0)
+    al = jnp.take(alens, a_idx)
+    best, ok = _score_fwd(reads, rl, adps, al, match, mismatch,
+                          gap_open, gap_ext, use_pallas)
+    return _group_scoremax_reduce(best, ok, g_idx, n_groups)
 
 
 def _stats_transposed() -> bool:
@@ -776,6 +804,29 @@ def _sharded_scores_fn(mesh, wcols, match, mismatch, gap_open, gap_ext,
 
 
 @functools.lru_cache(maxsize=None)
+def _sharded_group_scoremax_fn(mesh, wcols, n_groups, match, mismatch,
+                               gap_open, gap_ext, mode):
+    """Mesh-sharded twin of _fused_gather_group_scoremax (pmax merge)."""
+    ax = _mesh_axis(mesh)
+    from jax.sharding import PartitionSpec as P
+
+    def impl(wpk, wlens, amat, alens, w_idx, a_idx, g_idx):
+        reads = _unpack_codes(jnp.take(wpk, w_idx, axis=0), wcols)
+        rl = jnp.take(wlens, w_idx)
+        adps = jnp.take(amat, a_idx, axis=0)
+        al = jnp.take(alens, a_idx)
+        best, ok = _score_fwd(reads, rl, adps, al, match, mismatch,
+                              gap_open, gap_ext, mode)
+        return _group_scoremax_reduce(best, ok, g_idx, n_groups,
+                                      axis_name=ax)
+
+    sm = jax.shard_map(impl, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), P(ax), P(ax), P(ax)),
+                       out_specs=P())
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=None)
 def _sharded_groupmax_fn(mesh, wcols, n_groups, match, mismatch, gap_open,
                          gap_ext, mode):
     ax = _mesh_axis(mesh)
@@ -922,6 +973,43 @@ def align_batch_gather_stats_async(wpk, wlens, amat, alens, w_idx, a_idx,
         jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
         jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
         int(wcols), match, mismatch, gap_open, gap_ext,
+        _pallas_mode(B, int(wcols), amat.shape[1]))
+
+
+def align_batch_gather_group_scoremax_async(wpk, wlens, amat, alens, w_idx,
+                                            a_idx, g_idx, n_groups,
+                                            scoring=(3, -6, -5, -2),
+                                            wcols=None):
+    """Enqueues the per-group max-score launch (detection prefilter) and
+    returns the (n_groups,) int32 device array WITHOUT blocking.  Scores
+    are exact ints, so no fraction-key rung guard applies; shape gating is
+    stats_mode_ok like the other bitless launches."""
+    assert supports(scoring)
+    match, mismatch, gap_open, gap_ext = (int(x) for x in scoring)
+    if wcols is None:
+        wcols = 2 * wpk.shape[1]
+    B = len(w_idx)
+    m = _active_mesh(B)
+    if m is not None:
+        from ..parallel import mesh as pmesh
+        sb = pmesh.batch_sharding(m)
+        rep = pmesh.replicated(m)
+        mode = _pallas_mode(B // m.devices.size, int(wcols), amat.shape[1])
+        fn = _sharded_group_scoremax_fn(m, int(wcols), int(n_groups), match,
+                                        mismatch, gap_open, gap_ext, mode)
+        return fn(jax.device_put(jnp.asarray(wpk, jnp.uint8), rep),
+                  jax.device_put(jnp.asarray(wlens, jnp.int32), rep),
+                  jax.device_put(jnp.asarray(amat, jnp.int8), rep),
+                  jax.device_put(jnp.asarray(alens, jnp.int32), rep),
+                  jax.device_put(jnp.asarray(w_idx, jnp.int32), sb),
+                  jax.device_put(jnp.asarray(a_idx, jnp.int32), sb),
+                  jax.device_put(jnp.asarray(g_idx, jnp.int32), sb))
+    return _fused_gather_group_scoremax(
+        jnp.asarray(wpk, jnp.uint8), jnp.asarray(wlens, jnp.int32),
+        jnp.asarray(amat, jnp.int8), jnp.asarray(alens, jnp.int32),
+        jnp.asarray(w_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
+        jnp.asarray(g_idx, jnp.int32), int(wcols), int(n_groups),
+        match, mismatch, gap_open, gap_ext,
         _pallas_mode(B, int(wcols), amat.shape[1]))
 
 

@@ -1363,6 +1363,122 @@ forward_score_pallas = jax.jit(forward_score_pallas_impl,
                                static_argnums=(4, 5, 6, 7))
 
 
+def _score_kernel_t(reads_ref, alens_ref, rlens_ref, acode_ref, best_ref,
+                    m_ref, v_ref, tsc_ref,
+                    *, A, L1p, LANES, match, mismatch, gap_open, gap_ext,
+                    window):
+    """Transposed twin of _score_kernel: columns in sublanes (the
+    150-bp detection window pads 151 -> 160 instead of 256, the same
+    layout win as _stats_kernel_t), best score only."""
+    i = pl.program_id(1)
+    row = i + 1
+    jcol = lax.broadcasted_iota(jnp.int32, (L1p, LANES), 0)
+    rlen = rlens_ref[0, :][None, :]
+    alen = alens_ref[0, :][None, :]
+    col0 = jcol == 0
+    negs = jnp.int32(NEG)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.zeros((L1p, LANES), jnp.int32)
+        v_ref[:] = jnp.full((L1p, LANES), NEG, jnp.int32)
+        tsc_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+
+    m = m_ref[:]
+    v = v_ref[:]
+    a_code = acode_ref[0].astype(jnp.int32)              # (1, LANES)
+
+    nv = jnp.maximum(v + gap_ext, m + gap_open)
+    nv = jnp.where(col0, negs, nv)
+
+    eq = reads_ref[:].astype(jnp.int32) == a_code
+    sub = jnp.where(eq, match, mismatch)
+    d = pltpu.roll(m, 1, 0) + sub
+
+    pre = jnp.maximum(jnp.where(col0, negs, d), nv)
+    pre = jnp.where(col0, 0, pre)
+
+    f = pre + gap_open - (jcol + 1) * gap_ext
+    n_pass = max(1, (window - 1).bit_length())
+    cum = f
+    for k in range(n_pass):
+        sh = 1 << k
+        rolled = pltpu.roll(cum, sh, 0)
+        cum = jnp.maximum(cum, jnp.where(jcol < sh, negs, rolled))
+    nh = jnp.where(col0, negs, pltpu.roll(cum, 1, 0) + jcol * gap_ext)
+    nh = jnp.maximum(nh, negs)
+
+    nm = jnp.maximum(pre, nh)
+    nm = jnp.where(col0, 0, nm)
+
+    m_ref[:] = nm
+    v_ref[:] = nv
+
+    fold = (jcol == rlen) | ((row == alen) & (jcol < rlen))
+    cand = jnp.max(jnp.where(fold, nm, negs), axis=0)    # (LANES,)
+    act1 = (row <= alen)[0, :]
+    tsc_ref[0, :] = jnp.where(act1, jnp.maximum(tsc_ref[0, :], cand),
+                              tsc_ref[0, :])
+
+    @pl.when(i == A - 1)
+    def _():
+        best_ref[0, :] = tsc_ref[0, :]
+
+
+def forward_score_pallas_t_impl(reads, read_lens, adapters, adapter_lens,
+                                match, mismatch, gap_open, gap_ext):
+    """Transposed twin of forward_score_pallas_impl (same output)."""
+    B, L = reads.shape
+    A = adapters.shape[1]
+    L1p = _round_up(L + 1, 32)          # int8 sublane tile
+    assert L1p <= MAX_L1P
+    LANES = _lanes_for_t(B, L1p)
+    assert B % LANES == 0, (B, LANES)
+    window = _prefix_window(match, gap_open, gap_ext, A, L1p)
+
+    reads_s = jnp.pad(reads.astype(jnp.int8), ((0, 0), (1, L1p - L - 1)),
+                      constant_values=4).T                # (L1p, B)
+    acodes = adapters.astype(jnp.int32).T[:, None, :]     # (A, 1, B)
+    rlens = read_lens.astype(jnp.int32).reshape(1, B)
+    alens = adapter_lens.astype(jnp.int32).reshape(1, B)
+
+    kernel = functools.partial(
+        _score_kernel_t, A=A, L1p=L1p, LANES=LANES, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        window=window)
+
+    def vec():
+        return pl.BlockSpec((1, LANES), lambda b, i: (0, b),
+                            memory_space=pltpu.VMEM)
+
+    best = pl.pallas_call(
+        kernel,
+        grid=(B // LANES, A),
+        in_specs=[
+            pl.BlockSpec((L1p, LANES), lambda b, i: (0, b),
+                         memory_space=pltpu.VMEM),
+            vec(),
+            vec(),
+            pl.BlockSpec((1, 1, LANES), lambda b, i: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=vec(),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((L1p, LANES), jnp.int32),
+            pltpu.VMEM((L1p, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(reads_s, alens, rlens, acodes)
+    return best[0]
+
+
+forward_score_pallas_t = jax.jit(forward_score_pallas_t_impl,
+                                 static_argnums=(4, 5, 6, 7))
+
+
 def score_prefilter_coef(threshold, match, mismatch, gap_open, gap_ext):
     """The per-adapter-base score floor coefficient of the prefilter note
     above: a lane can only reach full_pct >= threshold if its best score is

@@ -96,11 +96,25 @@ def get_albacore_barcode_from_path(albacore_path):
 def find_matching_adapter_sets(check_reads, verbosity, end_size,
                                scoring_scheme_vals, print_dest,
                                adapter_threshold, threads,
-                               stats_merge=None):
+                               stats_merge=None, exact_scores=True):
     """stats_merge: optional (gm, gl) -> (gm, gl) hook that merges the
     per-(set, side) best (matches, full_len) stats across processes — the
     multi-host collective (parallel/multihost.py).  Every process must call
-    with the same adapter DB so the entry order matches."""
+    with the same adapter DB so the entry order matches.
+
+    exact_scores: when False (the caller will never display per-set
+    scores, i.e. global verbosity 0 — note multi-host passes phase
+    verbosity 0 while still printing the table, so the CALLER decides),
+    sub-threshold sets may report 0.0 instead of their true best identity:
+    a score-only prefilter pass rejects whole (set, side) groups via the
+    provable bound (kernel_pallas._score_kernel note; each group shares
+    one adapter, so the bound is one number per group), and only surviving
+    groups run the exact stat-carrying pass.  Every downstream consumer of
+    VALUES — the >= adapter_threshold selection itself, fix_up_1d2_sets,
+    choose_barcoding_kit — reads only sets that PASSED the threshold,
+    whose values the exact pass computed; this holds across the multi-host
+    merge too (a group passing anywhere has its global max on a rank that
+    passed it locally)."""
     read_count = len(check_reads)
     if verbosity > 0:
         print(bold_underline('Looking for known adapter sets'), flush=True,
@@ -161,10 +175,34 @@ def find_matching_adapter_sets(check_reads, verbosity, end_size,
             # host-side (reference semantics: max over check reads of the
             # full adapter %id, nanopore_read.py:155-164).
             gids = np.tile(np.arange(E, dtype=np.int64), R)
-            res = AlignJobs(windows, adapter_seqs, pairs,
-                            scoring_scheme_vals).run_group_max(
-                                gids, len(entries), progress=prog)
-            gm, gl = res['matches'], res['full_len']
+            from ..ops.dispatch import score_path_available
+            from ..ops.kernel_pallas import score_prefilter_coef
+            coef = score_prefilter_coef(adapter_threshold,
+                                        *scoring_scheme_vals)
+            if (not exact_scores and coef > 0
+                    and score_path_available(scoring_scheme_vals)):
+                # Prefilter pass: per-group max SCORE via the score-only
+                # kernels (~2x the stat-carrying pass); a group whose best
+                # score is below coef * its adapter length provably has
+                # best identity below the threshold.  Survivors (typically
+                # the 2-10 truly-present sets) re-run exactly.
+                gsc = AlignJobs(windows, adapter_seqs, pairs,
+                                scoring_scheme_vals).run_group_score_max(
+                                    gids, E, progress=prog)
+                alens_e = np.array([len(adapter_seqs[ai])
+                                    for _, _, ai in entries], np.int64)
+                surv = gsc.astype(np.float64) >= coef * alens_e
+                if surv.any():
+                    mask = surv[gids]
+                    res = AlignJobs(windows, adapter_seqs, pairs[mask],
+                                    scoring_scheme_vals).run_group_max(
+                                        gids[mask], E)
+                    gm, gl = res['matches'], res['full_len']
+            else:
+                res = AlignJobs(windows, adapter_seqs, pairs,
+                                scoring_scheme_vals).run_group_max(
+                                    gids, E, progress=prog)
+                gm, gl = res['matches'], res['full_len']
         if stats_merge is not None:
             gm, gl = stats_merge(gm, gl)
         from ..ops.dispatch import seqan_pct_vec

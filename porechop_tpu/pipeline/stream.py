@@ -526,7 +526,8 @@ def run_streaming_multihost(args, chunk_size):
     matching_sets = find_matching_adapter_sets(
         check_block, 0, args.end_size, args.scoring_scheme_vals, dest,
         args.adapter_threshold, args.threads,
-        stats_merge=multihost.merge_detection_stats)
+        stats_merge=multihost.merge_detection_stats,
+        exact_scores=args.verbosity > 0)
     if mh_v1:
         multihost.print_detection_block(n_check, dest)
     matching_sets = fix_up_1d2_sets(matching_sets)

@@ -95,6 +95,62 @@ def test_score_prefilter_coef_gates():
     assert kernel_pallas.score_prefilter_coef(90.0, 0, -1, -1, -1) == 0.0
 
 
+def test_detection_prefilter_same_selection():
+    """find_matching_adapter_sets with exact_scores=False must select the
+    SAME adapter sets, with identical best scores on the selected (and
+    therefore exactly re-run) sets, as the exact flow — on reads with
+    planted real adapters."""
+    import copy
+    import io
+
+    from porechop_tpu.adapters import ADAPTERS
+    from porechop_tpu.pipeline import phases
+    from porechop_tpu.pipeline.model import Read
+
+    rng = np.random.default_rng(77)
+    nsk_start = 'AATGTACTTCGTTCAGTTACGTATTGCT'
+    nsk_end = 'GCAATACGTAACTGAACGAAGT'
+    reads = []
+    for k in range(24):
+        seq = ''.join('ACGT'[c] for c in rng.integers(0, 4, 600))
+        if k % 2 == 0:
+            seq = nsk_start + seq[len(nsk_start):]
+        if k % 3 == 0:
+            seq = seq[:-len(nsk_end)] + nsk_end
+        reads.append(Read('r%d' % k, seq, 'J' * len(seq)))
+
+    def run(exact):
+        for a in ADAPTERS:          # fresh score state
+            a.best_start_score = 0.0
+            a.best_end_score = 0.0
+        sets = phases.find_matching_adapter_sets(
+            copy.deepcopy(reads), 0, 150, SCORING, io.StringIO(), 90.0, 1,
+            exact_scores=exact)
+        return [(s.name, round(s.best_start_score, 6),
+                 round(s.best_end_score, 6)) for s in sets]
+
+    exact = run(True)
+    pref = run(False)
+    assert exact == pref
+    assert any('SQK-NSK007' in name for name, _, _ in exact)
+
+
+def test_run_group_score_max_matches_full():
+    """The group max-score pass equals the per-group max of full-run raw
+    scores (device/jnp and native folds both exercised via NO_NATIVE)."""
+    rng = np.random.default_rng(9)
+    windows = [rng.integers(0, 4, 150).astype(np.int8) for _ in range(40)]
+    adapters = [rng.integers(0, 4, n).astype(np.int8) for n in (22, 31)]
+    pairs = np.array([(w, a) for w in range(40) for a in range(2)])
+    gids = pairs[:, 1].astype(np.int64)
+    full = dispatch.AlignJobs(windows, adapters, pairs, SCORING).run()
+    want = np.full(2, -2 ** 31 + 1, np.int64)
+    np.maximum.at(want, gids, full['raw_score'])
+    got = dispatch.AlignJobs(windows, adapters, pairs,
+                             SCORING).run_group_score_max(gids, 2)
+    assert np.array_equal(want, got)
+
+
 @pytest.mark.parametrize('threshold', [85.0, 90.0, 96.0])
 def test_run_stats_prefiltered_agrees(threshold):
     """Consumer contract: identical >= threshold masks and identical
